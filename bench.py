@@ -1,0 +1,109 @@
+"""Benchmark: single-stream RTF (real-time factor) of the full generation
+pipeline — prefill + fused frame loop (talker step, code_0 sampling,
+predictor 15-code expansion, feedback) + streaming codec decode to waveform —
+on the flagship model config with synthetic weights.
+
+Prints ONE JSON line:
+  {"metric": "rtf", "value": <RTF>, "unit": "gen_time/audio_time",
+   "vs_baseline": <0.553 / RTF>, ...extras}
+
+Baseline 0.553 is the reference's best published RTF (Q5_K_M CUDA,
+/root/reference/README.md:27; see BASELINE.md).  vs_baseline > 1 means this
+framework is faster than the reference's best configuration.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_RTF = 0.553          # reference best (RTX 2080 Ti CUDA, Q5_K_M)
+FRAMES = 96                   # 8 s of audio at 12 fps
+PROMPT_CAP = 128
+CHUNK = 4
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from qwen3_tts_tpu.core import protocol as P
+    from qwen3_tts_tpu.core.config import EngineConfig
+    from qwen3_tts_tpu.io.assets import Assets
+    from qwen3_tts_tpu.models import predictor as predictor_lib
+    from qwen3_tts_tpu.models import talker as talker_lib
+    from qwen3_tts_tpu.models.codec import decoder as codec_decoder
+    from qwen3_tts_tpu.runtime import generate as gen
+
+    cfg = EngineConfig()
+    dev = jax.devices()[0]
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    talker_params = talker_lib.init_talker_params(cfg.talker, k1)
+    predictor_params = predictor_lib.init_predictor_params(cfg.predictor, k2)
+    assets = Assets.random_init(k3, text_rows=4096, codec_rows=4096,
+                                dtype=jnp.bfloat16)
+    pack = assets.pack()
+    dec_params = codec_decoder.init_decoder_params(cfg.codec_decoder, k4)
+
+    generator = gen.Generator(cfg, talker_params, predictor_params, pack)
+    decode_chunk = jax.jit(
+        lambda p, c, s: codec_decoder.decode_chunk(cfg.codec_decoder, p, c, s),
+        donate_argnums=(2,))
+
+    embeds = jax.random.normal(
+        k5, (1, PROMPT_CAP, cfg.talker.d_model), jnp.float32) * 0.02
+    lengths = jnp.full((1,), PROMPT_CAP, jnp.int32)
+    sampler = gen.SamplerParams(temperature=jnp.float32(0.7),
+                                top_k=jnp.int32(40), top_p=jnp.float32(0.9))
+    spf = cfg.codec_decoder.samples_per_frame
+
+    def run_once(seed: int):
+        t0 = time.perf_counter()
+        state = generator.start(embeds, lengths, jax.random.PRNGKey(seed))
+        state.logits.block_until_ready()
+        t_prefill = time.perf_counter() - t0
+        dec_state = codec_decoder.init_decoder_state(
+            cfg.codec_decoder, dec_params, batch=1)
+        ttft = None
+        for i in range(FRAMES // CHUNK):
+            state, codes, valid = generator.chunk(
+                state, sampler, prompt_cap=PROMPT_CAP, n_frames=CHUNK)
+            wav, dec_state = decode_chunk(dec_params, codes, dec_state)
+            if i == 0:
+                wav.block_until_ready()
+                ttft = time.perf_counter() - t0
+        wav.block_until_ready()
+        total = time.perf_counter() - t0
+        return t_prefill, ttft, total
+
+    # Warmup/compile.
+    run_once(0)
+    # Timed runs.
+    runs = [run_once(s) for s in range(1, 4)]
+    prefill = float(np.mean([r[0] for r in runs]))
+    ttft = float(np.mean([r[1] for r in runs]))
+    total = float(np.mean([r[2] for r in runs]))
+
+    audio_s = FRAMES * spf / P.SAMPLE_RATE
+    rtf = total / audio_s
+    print(json.dumps({
+        "metric": "rtf",
+        "value": round(rtf, 4),
+        "unit": "gen_time/audio_time",
+        "vs_baseline": round(BASELINE_RTF / rtf, 3),
+        "ttft_ms": round(ttft * 1000, 1),
+        "prefill_ms": round(prefill * 1000, 1),
+        "frames": FRAMES,
+        "audio_seconds": round(audio_s, 3),
+        "device": str(dev),
+        "talker_layers": cfg.talker.n_layers,
+        "baseline_rtf": BASELINE_RTF,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,232 @@
+"""Configuration dataclasses for the TPU-native Qwen3-TTS framework.
+
+One frozen dataclass per subsystem; `EngineConfig` aggregates them.  The
+reference hardcodes most of this (ctx sizes at engine.rs:133-136, sampler at
+engine.rs:14-45); here everything is explicit and overridable, with
+`tiny()` constructors used by the test-suite so the full pipeline runs on a
+CPU in milliseconds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+from . import protocol as P
+
+
+@dataclass(frozen=True)
+class SamplerConfig:
+    """Sampling parameters for the talker code_0 head.
+
+    Mirrors the reference `SamplerConfig` (engine.rs:14-45): temperature 0
+    means greedy; top_k 0 disables the top-k filter; top_p 1.0 disables
+    nucleus filtering; seed None draws one from OS entropy at generation time.
+    """
+
+    temperature: float = 0.7
+    top_k: int = 40
+    top_p: float = 0.9
+    seed: Optional[int] = None
+
+    def replace(self, **kw) -> "SamplerConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class TalkerConfig:
+    """Qwen3 decoder that consumes 2048-d prompt embeddings and emits
+    codebook-0 logits.  GQA + RMSNorm(+qk-norm) + SwiGLU + M-RoPE."""
+
+    d_model: int = 2048
+    n_layers: int = 28
+    n_heads: int = 16
+    n_kv_heads: int = 8
+    head_dim: int = 128
+    d_ff: int = 6144
+    rms_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    # M-RoPE frequency sections (in half-dims, summing to head_dim // 2) for
+    # the 4 position rows (temporal, height, width, channel).  The reference
+    # feeds T=H=W=arange and channel=0 (engine.rs:306-314) so any section
+    # split collapses to standard RoPE for the first three rows.
+    mrope_sections: Tuple[int, int, int, int] = (24, 20, 20, 0)
+    qk_norm: bool = True
+    n_codec_logits: int = P.CODE_SAMPLING_LIMIT  # LM-head rows kept: [0, 2160)
+    max_seq_len: int = 4096
+    dtype: str = "bfloat16"
+    flash_decode: bool = True   # Pallas decode-attention kernel on TPU
+
+    @staticmethod
+    def tiny() -> "TalkerConfig":
+        return TalkerConfig(
+            d_model=P.TALKER_DIM,  # protocol-fixed: prompt embeds are 2048-d
+            n_layers=2, n_heads=4, n_kv_heads=2, head_dim=16, d_ff=64,
+            mrope_sections=(3, 3, 2, 0),
+            n_codec_logits=P.CODE_SAMPLING_LIMIT, max_seq_len=256,
+            dtype="float32",
+        )
+
+
+@dataclass(frozen=True)
+class PredictorConfig:
+    """Small Qwen3 decoder expanding each talker step into the 15 residual
+    codes.  Vocab is 15 codebooks x 2048 concatenated; context is at most
+    2 (prefill) + 14 (inner steps) tokens (engine.rs:570-611)."""
+
+    d_model: int = 1024
+    n_layers: int = 6
+    n_heads: int = 16
+    n_kv_heads: int = 8
+    head_dim: int = 64
+    d_ff: int = 3072
+    rms_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    qk_norm: bool = True
+    n_residual_codebooks: int = P.NUM_CODEBOOKS - 1
+    codebook_size: int = P.CODEBOOK_SIZE
+    max_seq_len: int = 16
+    dtype: str = "bfloat16"
+    # The per-frame cache is 17 slots; a chunked HBM-streaming kernel would
+    # read more than XLA does, so the predictor keeps the fused XLA path.
+    flash_decode: bool = False
+
+    @property
+    def vocab_size(self) -> int:
+        return self.n_residual_codebooks * self.codebook_size
+
+    @staticmethod
+    def tiny() -> "PredictorConfig":
+        return PredictorConfig(
+            d_model=P.PREDICTOR_DIM, n_layers=2, n_heads=4, n_kv_heads=2,
+            head_dim=16, d_ff=64, dtype="float32",
+        )
+
+
+@dataclass(frozen=True)
+class CodecDecoderConfig:
+    """Streaming codec decoder: codes -> 24 kHz waveform.
+
+    8-layer/16-head/d_head-64 latent transformer over summed codebook
+    embeddings, then a causal conv-transpose upsampler (total factor
+    prod(upsample_factors) == SAMPLES_PER_FRAME).  All state (conv histories +
+    KV ring) has static shapes so chunked streaming decode is bit-identical to
+    full decode.  State signature parity: /root/reference/src/models/onnx.rs:461-496.
+    """
+
+    d_model: int = 1024
+    n_layers: int = 8
+    n_heads: int = 16
+    head_dim: int = 64
+    d_ff: int = 4096
+    rms_eps: float = 1e-6
+    rope_theta: float = 10_000.0
+    n_codebooks: int = P.NUM_CODEBOOKS
+    codebook_size: int = P.CODEBOOK_SIZE
+    upsample_factors: Tuple[int, ...] = (5, 5, 4, 4, 5)  # prod = 2000
+    channels: Tuple[int, ...] = (1024, 512, 256, 128, 64)
+    conv_kernel: int = 7
+    attn_window: int = 128  # sliding-window latent attention capacity (frames)
+    dtype: str = "bfloat16"
+
+    @property
+    def samples_per_frame(self) -> int:
+        out = 1
+        for f in self.upsample_factors:
+            out *= f
+        return out
+
+    @staticmethod
+    def tiny() -> "CodecDecoderConfig":
+        return CodecDecoderConfig(
+            d_model=32, n_layers=2, n_heads=2, head_dim=16, d_ff=64,
+            upsample_factors=(2, 2), channels=(16, 8), conv_kernel=3,
+            attn_window=8, dtype="float32",
+        )
+
+
+@dataclass(frozen=True)
+class CodecEncoderConfig:
+    """Codec encoder: 24 kHz waveform -> [frames, 16] RVQ codes."""
+
+    d_model: int = 1024
+    downsample_factors: Tuple[int, ...] = (5, 4, 4, 5, 5)  # prod = 2000
+    channels: Tuple[int, ...] = (64, 128, 256, 512, 1024)
+    conv_kernel: int = 7
+    n_codebooks: int = P.NUM_CODEBOOKS
+    codebook_size: int = P.CODEBOOK_SIZE
+    dtype: str = "float32"
+
+    @staticmethod
+    def tiny() -> "CodecEncoderConfig":
+        return CodecEncoderConfig(
+            d_model=32, downsample_factors=(2, 2), channels=(8, 32),
+            conv_kernel=3,
+        )
+
+
+@dataclass(frozen=True)
+class SpeakerEncoderConfig:
+    """Speaker encoder: log-mel [frames, 128] -> 2048-d speaker embedding.
+
+    Mel front-end parameters match the reference exactly
+    (onnx.rs:170-176): 24 kHz, n_fft 1024, hop 256, 128 Slaney mels,
+    fmin 0, fmax 12000, reflect pad, Hann window, log(max(mel, 1e-5)).
+    """
+
+    n_mels: int = 128
+    n_fft: int = 1024
+    hop_length: int = 256
+    fmin: float = 0.0
+    fmax: float = 12_000.0
+    sample_rate: int = P.SAMPLE_RATE
+    d_model: int = 256
+    n_layers: int = 4
+    emb_dim: int = P.SPEAKER_EMB_DIM
+    dtype: str = "float32"
+
+    @staticmethod
+    def tiny() -> "SpeakerEncoderConfig":
+        return SpeakerEncoderConfig(d_model=16, n_layers=1)
+
+
+@dataclass(frozen=True)
+class RuntimeConfig:
+    """Generation-loop / serving parameters."""
+
+    max_steps: int = 512                 # frames; ~42 s of audio at 12 fps
+    frames_per_chunk: int = P.FRAMES_PER_CHUNK
+    max_prompt_len: int = 1024           # static prefill capacity (padded)
+    batch_size: int = 1                  # concurrent streams per device group
+    mesh_shape: Tuple[int, ...] = (1,)   # (data,) or (data, model)
+    mesh_axes: Tuple[str, ...] = ("data",)
+    donate_cache: bool = True
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    talker: TalkerConfig = field(default_factory=TalkerConfig)
+    predictor: PredictorConfig = field(default_factory=PredictorConfig)
+    codec_decoder: CodecDecoderConfig = field(default_factory=CodecDecoderConfig)
+    codec_encoder: CodecEncoderConfig = field(default_factory=CodecEncoderConfig)
+    speaker_encoder: SpeakerEncoderConfig = field(default_factory=SpeakerEncoderConfig)
+    runtime: RuntimeConfig = field(default_factory=RuntimeConfig)
+    sampler: SamplerConfig = field(default_factory=SamplerConfig)
+    text_vocab_size: int = 151_936
+    lang_id: int = P.DEFAULT_LANG_ID
+
+    @staticmethod
+    def tiny() -> "EngineConfig":
+        return EngineConfig(
+            talker=TalkerConfig.tiny(),
+            predictor=PredictorConfig.tiny(),
+            codec_decoder=CodecDecoderConfig.tiny(),
+            codec_encoder=CodecEncoderConfig.tiny(),
+            speaker_encoder=SpeakerEncoderConfig.tiny(),
+            runtime=RuntimeConfig(max_steps=16, max_prompt_len=64),
+            text_vocab_size=P.EOS_TOKEN + 1,
+        )
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,418 @@
+"""TtsEngine: the top-level facade, API-compatible with the reference
+(/root/reference/src/tts/engine.rs):
+
+    engine = TtsEngine(model_dir, quant="none")
+    engine.set_max_steps(512); engine.set_sampler_config(SamplerConfig(...))
+    engine.load_speakers("speakers/")
+    audio = engine.generate_with_voice(text, engine.get_speaker("vivian"))
+    voice = engine.create_voice_file("ref.wav", "ref text")
+    audio = engine.generate(text, "ref.wav", "ref text")
+
+plus a first-class streaming API (`generate_stream`) that the reference only
+had internal plumbing for (engine.rs:522-524): an iterator of float32 chunks
+emitted while the LM is still generating.
+
+Orchestration differences from the reference are deliberate TPU designs:
+  * the whole per-frame loop (sampling, predictor, feedback) is one jitted
+    device program (runtime.generate) dispatched once per 4-frame chunk;
+  * the codec decoder is a second jitted device program with functional
+    streaming state, replacing the decoder thread + mpsc channel
+    (engine.rs:487-543) — JAX async dispatch overlaps it with the next
+    LM chunk on the host timeline;
+  * prompts are padded to power-of-two-ish buckets so arbitrary text lengths
+    reuse a handful of compiled programs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import protocol as P
+from .core.config import EngineConfig, SamplerConfig
+from .io import cache as cache_io
+from .io.assets import Assets
+from .io.audio import AudioSample, load_reference_wav
+from .io.voice_file import VoiceFile
+from .models.codec import decoder as codec_decoder
+from .models.codec import encoder as codec_encoder
+from .models.codec import speaker as speaker_lib
+from .models import predictor as predictor_lib
+from .models import talker as talker_lib
+from .prompt import PromptBuilder, PromptData, PromptPlan, assemble
+from .runtime.generate import Generator, SamplerParams
+from .utils.metrics import GenerationMetrics, Stopwatch
+from .utils.tokenizer import Tokenizer
+
+QUANT_DIRS = {"q5_k_m": "gguf_q5_k_m", "q8_0": "gguf_q8_0"}
+
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: kills the multi-minute first-compile
+    on every process start (the checkpoint/resume analogue of the reference's
+    feature caches, SURVEY.md §5).  Opt out with QTTS_NO_COMPILE_CACHE=1."""
+    if os.environ.get("QTTS_NO_COMPILE_CACHE"):
+        return
+    try:
+        cache_dir = os.environ.get(
+            "QTTS_COMPILE_CACHE_DIR",
+            str(Path.home() / ".cache" / "qwen3_tts_tpu" / "xla"))
+        Path(cache_dir).mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+class TtsEngine:
+    """Owns models, assets, tokenizer, speaker cache and compiled programs."""
+
+    def __init__(self, model_dir="models", quant: str = "none",
+                 config: Optional[EngineConfig] = None, init_seed: int = 0,
+                 speakers_dir=None):
+        _enable_compilation_cache()
+        self.model_dir = Path(model_dir)
+        self.quant = quant
+        self.config = config or EngineConfig()
+        self.max_steps = self.config.runtime.max_steps
+        self.sampler_config = SamplerConfig(
+            temperature=self.config.sampler.temperature,
+            top_k=self.config.sampler.top_k,
+            top_p=self.config.sampler.top_p,
+            seed=self.config.sampler.seed)
+        self.speakers: Dict[str, VoiceFile] = {}
+        self.last_metrics: Optional[GenerationMetrics] = None
+        self._rng_fallback = np.random.SeedSequence(init_seed)
+
+        quant_dir = QUANT_DIRS.get(quant, "gguf")
+        weights_dir = self.model_dir / quant_dir
+        key = jax.random.PRNGKey(init_seed)
+        k_assets, k_talker, k_pred, k_dec, k_enc, k_spk = jax.random.split(key, 6)
+
+        def _jinit(fn, cfg_obj, k):
+            # One fused program per model init instead of dozens of eager RNG
+            # dispatches (significant on remote-compile TPU backends).
+            import functools
+            return jax.jit(functools.partial(fn, cfg_obj))(k)
+
+        # 1. Assets (embedding tables + projection).
+        try:
+            self.assets = Assets.load(weights_dir)
+            self._random_weights = False
+        except FileNotFoundError:
+            self.assets = Assets.random_init(k_assets)
+            self._random_weights = True
+
+        # 2. Tokenizer.
+        self.tokenizer = Tokenizer.load(self.model_dir)
+
+        # 3. Talker + predictor weights (GGUF if present, else random init).
+        from .io import weights as weights_io
+        talker_path = weights_dir / "qwen3_tts_talker.gguf"
+        if talker_path.exists():
+            self.config = self.config.replace(
+                talker=weights_io.config_from_gguf(
+                    weights_io.read_gguf(talker_path), self.config.talker))
+            _, self.talker_params = weights_io.load_talker_gguf(
+                talker_path, self.config.talker)
+        else:
+            self.talker_params = _jinit(talker_lib.init_talker_params,
+                                        self.config.talker, k_talker)
+        pred_path = weights_dir / "qwen3_tts_predictor.gguf"
+        if pred_path.exists():
+            self.config = self.config.replace(
+                predictor=weights_io.config_from_gguf(
+                    weights_io.read_gguf(pred_path), self.config.predictor))
+            _, self.predictor_params = weights_io.load_predictor_gguf(
+                pred_path, self.config.predictor)
+        else:
+            self.predictor_params = _jinit(
+                predictor_lib.init_predictor_params, self.config.predictor,
+                k_pred)
+
+        # 4. Codec + speaker models (npz checkpoint if present, else random).
+        self.codec_decoder_params = self._load_npz_or(
+            self.model_dir / "codec" / "decoder.npz",
+            lambda: _jinit(codec_decoder.init_decoder_params,
+                           self.config.codec_decoder, k_dec))
+        self.codec_encoder_params = self._load_npz_or(
+            self.model_dir / "codec" / "encoder.npz",
+            lambda: _jinit(codec_encoder.init_encoder_params,
+                           self.config.codec_encoder, k_enc))
+        self.speaker_params = self._load_npz_or(
+            self.model_dir / "codec" / "speaker.npz",
+            lambda: _jinit(speaker_lib.init_speaker_params,
+                           self.config.speaker_encoder, k_spk))
+
+        # 5. Compiled programs.
+        self.generator = Generator(self.config, self.talker_params,
+                                   self.predictor_params, self.assets.pack())
+        # Batched device-side prompt assembly (prompt.assemble vmapped over
+        # streams): integer plans cross to the device, never the tables.
+        self._assemble = jax.jit(jax.vmap(
+            assemble, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0)))
+        self._decode_chunk = jax.jit(
+            lambda p, c, s: codec_decoder.decode_chunk(
+                self.config.codec_decoder, p, c, s),
+            donate_argnums=(2,))
+        self._encode_wav = jax.jit(
+            lambda p, w: codec_encoder.encode(self.config.codec_encoder, p, w))
+        self._speaker_embed = jax.jit(
+            lambda p, w: speaker_lib.speaker_embed(
+                self.config.speaker_encoder, p, w))
+
+        # 6. Speakers.
+        for cand in ([Path(speakers_dir)] if speakers_dir else
+                     [self.model_dir / "preset_speakers", Path("speakers")]):
+            if cand.exists():
+                self.load_speakers(cand)
+                break
+
+    # ------------------------------------------------------------------ API
+    def set_max_steps(self, steps: int) -> None:
+        """Set the frame budget.  The talker KV capacity is sized from the
+        runtime config, so raising the budget re-derives the compiled
+        generator (one extra compile, no other cost)."""
+        steps = int(steps)
+        self.max_steps = steps
+        if steps > self.config.runtime.max_steps:
+            import dataclasses
+            self.config = self.config.replace(
+                runtime=dataclasses.replace(self.config.runtime,
+                                            max_steps=steps))
+            self.generator = Generator(self.config, self.talker_params,
+                                       self.predictor_params,
+                                       self.assets.pack())
+
+    def set_sampler_config(self, config: SamplerConfig) -> None:
+        self.sampler_config = config
+
+    def get_sampler_config(self) -> SamplerConfig:
+        return self.sampler_config
+
+    def load_speakers(self, speakers_dir) -> None:
+        speakers_dir = Path(speakers_dir)
+        for path in sorted(speakers_dir.glob("*.json")):
+            if path.name == "index.json":
+                continue
+            try:
+                self.speakers[path.stem] = VoiceFile.load(path)
+            except Exception:
+                continue
+
+    def get_speaker(self, id_or_name: str) -> VoiceFile:
+        """ID -> name -> 'vivian' -> any (parity: engine.rs:211-231)."""
+        if id_or_name in self.speakers:
+            return self.speakers[id_or_name]
+        for v in self.speakers.values():
+            if v.name == id_or_name:
+                return v
+        if P.DEFAULT_SPEAKER in self.speakers:
+            return self.speakers[P.DEFAULT_SPEAKER]
+        if not self.speakers:
+            raise RuntimeError("No speakers loaded in engine!")
+        return next(iter(self.speakers.values()))
+
+    @staticmethod
+    def download_models(model_dir, quant: str = "none") -> None:
+        from .io.download import check_and_download
+        check_and_download(model_dir, quant)
+
+    # ------------------------------------------------------- voice cloning
+    def create_voice_file(self, audio_path, ref_text: str) -> VoiceFile:
+        wav = load_reference_wav(audio_path)
+        codes = np.asarray(self._encode_wav(
+            self.codec_encoder_params, jnp.asarray(wav)[None]))[0]  # [N, 16]
+        emb = np.asarray(self._speaker_embed(
+            self.speaker_params, jnp.asarray(wav)))[0]              # [2048]
+        return VoiceFile.new(ref_text, codes.reshape(-1), emb)
+
+    def _process_reference(self, audio_path) -> Tuple[np.ndarray, np.ndarray]:
+        """Codes + speaker embedding with a `.cache` sidecar (engine.rs:275-302)."""
+        audio_path = Path(audio_path)
+        cache_path = audio_path.with_suffix(".cache")
+        if cache_path.exists():
+            try:
+                return cache_io.load_cache(cache_path)
+            except Exception:
+                pass
+        vf = self.create_voice_file(audio_path, "")
+        codes = np.asarray(vf.audio_codes, np.int64)
+        emb = vf.embedding_array
+        try:
+            cache_io.save_cache(cache_path, codes, emb)
+        except OSError:
+            pass
+        return codes, emb
+
+    # ----------------------------------------------------------- synthesis
+    def generate(self, text: str, ref_audio_path, ref_text: str,
+                 instruct: Optional[str] = None) -> AudioSample:
+        codes, emb = self._process_reference(ref_audio_path)
+        plan = PromptBuilder.plan_clone(
+            text, self.tokenizer, ref_codes=codes,
+            ref_text_ids=self.tokenizer.encode(ref_text), spk_emb=emb,
+            lang_id=self.config.lang_id, instruct=instruct)
+        return self._run_inference(plan)
+
+    def generate_with_voice(self, text: str, voice: VoiceFile,
+                            instruct: Optional[str] = None) -> AudioSample:
+        plan = self._build_voice_prompt(text, voice, instruct)
+        return self._run_inference(plan)
+
+    def generate_stream(self, text: str, voice: VoiceFile,
+                        instruct: Optional[str] = None) -> Iterator[np.ndarray]:
+        """Yield float32 waveform chunks (~4 frames / 333 ms each) while the
+        LM is still generating.  This is the public streaming API the
+        reference left unexposed (engine.rs:445,522-524)."""
+        plan = self._build_voice_prompt(text, voice, instruct)
+        yield from self._stream_inference(plan)
+
+    def _build_voice_prompt(self, text: str, voice: VoiceFile,
+                            instruct: Optional[str]) -> PromptPlan:
+        if not voice.audio_codes:
+            return PromptBuilder.plan_core(
+                text, self.tokenizer, lang_id=self.config.lang_id,
+                spk_id=None, spk_emb=voice.embedding_array,
+                instruct=instruct)
+        return PromptBuilder.plan_clone(
+            text, self.tokenizer,
+            ref_codes=np.asarray(voice.audio_codes, np.int32),
+            ref_text_ids=self.tokenizer.encode(voice.ref_text),
+            spk_emb=voice.embedding_array,
+            lang_id=self.config.lang_id, instruct=instruct)
+
+    def prompt_to_device(self, plans, bucket: int = None):
+        """Assemble a list of PromptPlans to device embeddings.
+
+        Returns (embeds [B, bucket, 2048] on device, lengths [B] int32).
+        """
+        if isinstance(plans, PromptPlan):
+            plans = [plans]
+        max_len = max(p.length for p in plans)
+        bucket = bucket or self._bucket(max_len)
+        f_need = max(p.frames.shape[0] for p in plans)
+        f_cap = 1 if f_need <= 1 else ((f_need + 63) // 64) * 64
+        padded = [p.padded(bucket, f_cap) for p in plans]
+        lengths = np.asarray([min(p.length, bucket) for p in plans], np.int32)
+        embeds = self._assemble(
+            self.assets.text_table, self.assets.codec_tables,
+            np.stack([p.text_idx for p in padded]),
+            np.stack([p.codec_idx for p in padded]),
+            np.stack([p.frame_slot for p in padded]),
+            np.stack([p.spk_flag for p in padded]),
+            np.stack([p.frames for p in padded]),
+            np.stack([p.spk_emb for p in padded]),
+            jnp.asarray(lengths))
+        return embeds, lengths
+
+    def _run_inference(self, plan: PromptPlan) -> AudioSample:
+        parts = list(self._stream_inference(plan))
+        samples = (np.concatenate(parts) if parts
+                   else np.zeros((0,), np.float32))
+        return AudioSample(samples=samples, sample_rate=P.SAMPLE_RATE,
+                           channels=1)
+
+    def _stream_inference(self, plan: PromptPlan) -> Iterator[np.ndarray]:
+        cfg = self.config
+        spf = cfg.codec_decoder.samples_per_frame
+        n_chunk = cfg.runtime.frames_per_chunk
+        metrics = GenerationMetrics()
+        watch = Stopwatch()
+        t_start = time.perf_counter()
+
+        bucket = self._bucket(plan.length)
+        embeds, lengths = self.prompt_to_device(plan, bucket)
+
+        seed = self.sampler_config.seed
+        if seed is None:
+            seed = time.time_ns() & 0x7FFFFFFFFFFFFFFF
+        key = jax.random.PRNGKey(seed)
+
+        state = self.generator.start(embeds, lengths, key)
+        sampler = SamplerParams.make(self.sampler_config)
+        dec_state = codec_decoder.init_decoder_state(
+            cfg.codec_decoder, self.codec_decoder_params, batch=1)
+        metrics.prefill_ms = watch.lap_ms()
+
+        frames_emitted = 0
+        steps = 0
+        pending = None  # (wav, valid, n) one chunk in flight
+        while True:
+            # Dispatch the next chunk before syncing the previous one: JAX
+            # async dispatch lets the device compute chunk k+1 while the host
+            # converts/emits chunk k (1-chunk lookahead pipeline).
+            if steps < self.max_steps:
+                n = min(n_chunk, self.max_steps - steps)
+                state, codes, valid = self.generator.chunk(
+                    state, sampler, prompt_cap=bucket, n_frames=n)
+                wav, dec_state = self._decode_chunk(
+                    self.codec_decoder_params, codes, dec_state)
+                steps += n
+                nxt = (wav, valid, n)
+            else:
+                nxt = None
+
+            if pending is not None:
+                wav0, valid0, n0 = pending
+                valid_np = np.asarray(valid0[0])
+                n_valid = int(valid_np.sum())
+                metrics.chunk_ms.append(watch.lap_ms())
+                if n_valid > 0:
+                    chunk = np.asarray(wav0[0, : n_valid * spf], np.float32)
+                    if metrics.ttft_ms is None:
+                        metrics.ttft_ms = (time.perf_counter() - t_start) * 1000.0
+                    frames_emitted += n_valid
+                    yield chunk
+                if n_valid < n0:   # EOS inside this chunk: drop lookahead
+                    metrics.eos = True
+                    break
+            pending = nxt
+            if pending is None:
+                break
+
+        metrics.total_ms = (time.perf_counter() - t_start) * 1000.0
+        metrics.frames = frames_emitted
+        metrics.audio_seconds = frames_emitted * spf / P.SAMPLE_RATE
+        self.last_metrics = metrics
+
+    def _bucket(self, s: int) -> int:
+        """Round the prompt length up to a reuse-friendly bucket."""
+        cap = self.config.runtime.max_prompt_len
+        b = 32
+        while b < s and b < cap:
+            b *= 2
+        return min(max(b, 32), cap)
+
+    @staticmethod
+    def _load_npz_or(path: Path, fallback):
+        if path.exists():
+            data = np.load(path, allow_pickle=False)
+            return _unflatten_npz(dict(data))
+        return fallback()
+
+
+def _unflatten_npz(flat: Dict[str, np.ndarray]):
+    """Rebuild a nested dict/tuple pytree from 'a/b/0/c'-style npz keys."""
+    tree: Dict = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(val)
+
+    def fix(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return tuple(fix(node[str(i)]) for i in range(len(node)))
+        return {k: fix(v) for k, v in node.items()}
+
+    return fix(tree)

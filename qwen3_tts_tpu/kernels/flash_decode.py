@@ -1,0 +1,161 @@
+"""Pallas flash-decode kernel for single-token GQA attention.
+
+Replaces the XLA attention path for decode steps (S=1).  The decisive
+advantage over the XLA program is *dynamic-length cache reads*: the KV cache
+has a static capacity C (prompt bucket + max_steps), but at step t only
+`write_idx + 1` slots are live.  XLA must stream all C slots from HBM every
+step; this kernel's inner loop has a data-dependent trip count
+(cdiv(write_idx + 1, CHUNK)), so HBM traffic tracks the true sequence length
+— early in generation that is a >10x bandwidth cut on the dominant memory
+stream, directly improving TTFT and per-frame latency.
+
+Mechanics: grid over (batch, kv_head); K/V stay in HBM/ANY and are DMA'd
+chunk-by-chunk into double-buffered VMEM scratch, overlapping copy with
+compute (pallas_guide: double-buffering pattern); softmax runs online
+(flash-style running max/sum) in f32; per-slot validity reproduces
+ops.attention.history_mask (prompt slots < length, generated slots
+prompt_cap..write_idx, all <= write_idx).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+CHUNK = 512  # cache slots per DMA
+
+
+def _kernel(lengths_ref, start_ref, q_ref, k_hbm, v_hbm, o_ref,
+            k_scratch, v_scratch, sem_k, sem_v, *, prompt_cap: int,
+            capacity: int, scale: float):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    g, dh = q_ref.shape[2], q_ref.shape[3]
+
+    length = lengths_ref[b]
+    start = start_ref[0]
+    valid_end = start + 1                      # slots [0, start] are visible
+    n_chunks = pl.cdiv(valid_end, CHUNK)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale     # [G, Dh]
+
+    def get_dma(slot, chunk_idx, sref, hbm, sem):
+        return pltpu.make_async_copy(
+            hbm.at[b, h, pl.ds(chunk_idx * CHUNK, CHUNK), :],
+            sref.at[slot],
+            sem.at[slot],
+        )
+
+    get_dma(0, 0, k_scratch, k_hbm, sem_k).start()
+    get_dma(0, 0, v_scratch, v_hbm, sem_v).start()
+
+    def body(ci, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(ci, 2)
+        next_slot = jax.lax.rem(ci + 1, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            get_dma(next_slot, ci + 1, k_scratch, k_hbm, sem_k).start()
+            get_dma(next_slot, ci + 1, v_scratch, v_hbm, sem_v).start()
+
+        get_dma(slot, ci, k_scratch, k_hbm, sem_k).wait()
+        get_dma(slot, ci, v_scratch, v_hbm, sem_v).wait()
+
+        k = k_scratch[slot].astype(jnp.float32)       # [CHUNK, Dh]
+        v = v_scratch[slot].astype(jnp.float32)
+
+        c_idx = ci * CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, (1, CHUNK), 1)                 # [1, CHUNK]
+        valid = (c_idx < length) | ((c_idx >= prompt_cap) & (c_idx <= start))
+        valid = valid & (c_idx < capacity)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [G, CHUNK]
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)                         # [G, CHUNK]
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [G, Dh]
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((g, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((g, 1), jnp.float32)
+    acc0 = jnp.zeros((g, dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def use_flash_decode() -> bool:
+    """Trace-time gate: Pallas TPU kernels only run on TPU backends."""
+    import os
+    if os.environ.get("QTTS_NO_FLASH"):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
+@functools.partial(jax.jit, static_argnames=("prompt_cap", "interpret"))
+def flash_gqa_decode(q: jnp.ndarray, k_cache: jnp.ndarray,
+                     v_cache: jnp.ndarray, lengths: jnp.ndarray,
+                     write_idx: jnp.ndarray, prompt_cap: int,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Single-token GQA decode attention.
+
+    q: [B, H, Dh]; k_cache/v_cache: [B, Hkv, C, Dh]; lengths: [B] prompt
+    lengths; write_idx: scalar — the slot of the current token (already
+    written to the cache).  Returns [B, H, Dh].
+    """
+    b, hq, dh = q.shape
+    hkv, cap = k_cache.shape[1], k_cache.shape[2]
+    g = hq // hkv
+    q4 = q.reshape(b, hkv, g, dh)
+
+    padded_cap = ((cap + CHUNK - 1) // CHUNK) * CHUNK
+    if padded_cap != cap:
+        pad = [(0, 0), (0, 0), (0, padded_cap - cap), (0, 0)]
+        k_cache = jnp.pad(k_cache, pad)
+        v_cache = jnp.pad(v_cache, pad)
+
+    grid = (b, hkv)
+    out = pl.pallas_call(
+        functools.partial(_kernel, prompt_cap=prompt_cap, capacity=cap,
+                          scale=dh ** -0.5),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, g, dh), lambda i, j, *_: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, g, dh), lambda i, j, *_: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, CHUNK, dh), k_cache.dtype),
+                pltpu.VMEM((2, CHUNK, dh), v_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, dh), q.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32),
+      jnp.asarray(write_idx, jnp.int32).reshape(1),
+      q4, k_cache, v_cache)
+    return out.reshape(b, hq, dh)

@@ -1,0 +1,137 @@
+"""Shared Qwen3-style decoder core for the talker and predictor.
+
+Pure-functional: parameters are pytrees of stacked per-layer arrays and the
+forward pass scans over layers (one `lax.scan`, compiler-friendly for 28
+layers).  Architecture: pre-RMSNorm, GQA with per-head q/k RMSNorm (Qwen3),
+rotary embeddings supplied by the caller (M-RoPE for the talker, standard
+RoPE for the predictor), SwiGLU MLP.  The KV cache has a static capacity;
+variable prompt lengths are handled by attention masking (see ops.attention).
+
+Equivalent role to the llama.cpp decode path used by the reference
+(/root/reference/src/models/llama/mod.rs via engine.rs:457-641), redesigned
+for XLA: no host round-trips, static shapes, bf16 matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.attention import gqa_attend, history_mask, update_cache
+from ..ops.norms import rms_norm
+
+
+@struct.dataclass
+class KVCache:
+    k: jnp.ndarray          # [L, B, Hkv, C, Dh]
+    v: jnp.ndarray          # [L, B, Hkv, C, Dh]
+    write_idx: jnp.ndarray  # scalar int32: next free slot
+    lengths: jnp.ndarray    # [B] int32: true prompt lengths (for masking)
+
+    @property
+    def capacity(self) -> int:
+        return self.k.shape[3]
+
+
+def init_kv_cache(cfg, batch: int, capacity: int, dtype) -> KVCache:
+    shape = (cfg.n_layers, batch, cfg.n_kv_heads, capacity, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, dtype),
+        v=jnp.zeros(shape, dtype),
+        write_idx=jnp.zeros((), jnp.int32),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def init_decoder_params(cfg, key: jax.Array) -> Dict[str, Any]:
+    """Random-init decoder weights (stacked [L, ...]); used when no GGUF
+    checkpoint is present (development / benchmarking mode)."""
+    dtype = jnp.dtype(cfg.dtype)
+    d, f, l = cfg.d_model, cfg.d_ff, cfg.n_layers
+    h, hkv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    k = iter(jax.random.split(key, 8))
+    s_attn = d ** -0.5
+    s_ff = f ** -0.5
+
+    def rnd(rng, shape, scale):
+        return (jax.random.normal(rng, shape, jnp.float32) * scale).astype(dtype)
+
+    return {
+        "layers": {
+            "ln1": jnp.ones((l, d), dtype),
+            "ln2": jnp.ones((l, d), dtype),
+            "wq": rnd(next(k), (l, d, h * dh), s_attn),
+            "wk": rnd(next(k), (l, d, hkv * dh), s_attn),
+            "wv": rnd(next(k), (l, d, hkv * dh), s_attn),
+            "wo": rnd(next(k), (l, h * dh, d), (h * dh) ** -0.5),
+            "q_norm": jnp.ones((l, dh), dtype),
+            "k_norm": jnp.ones((l, dh), dtype),
+            "w_gate": rnd(next(k), (l, d, f), s_attn),
+            "w_up": rnd(next(k), (l, d, f), s_attn),
+            "w_down": rnd(next(k), (l, f, d), s_ff),
+        },
+        "final_norm": jnp.ones((d,), dtype),
+    }
+
+
+def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
+                    cos: jnp.ndarray, sin: jnp.ndarray, cache: KVCache,
+                    prompt_cap: int) -> Tuple[jnp.ndarray, KVCache]:
+    """Run the decoder over S new tokens.
+
+    x: [B, S, D] input embeddings; cos/sin: [B, S, Dh] rotary tables for the
+    new positions; cache: KVCache whose write_idx marks where these tokens go.
+    Returns (hidden [B, S, D] after final norm, updated cache).
+    """
+    b, s, d = x.shape
+    h, hkv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    start = cache.write_idx
+    # Pallas flash-decode for single-token steps on TPU: reads only the live
+    # prefix of the cache from HBM (see kernels/flash_decode.py).
+    from ..kernels.flash_decode import use_flash_decode
+    use_flash = (s == 1 and getattr(cfg, "flash_decode", True)
+                 and use_flash_decode())
+    mask = (None if use_flash else
+            history_mask(cache.lengths, prompt_cap, start, s, cache.capacity))
+
+    def layer_fn(carry, layer):
+        xx = carry
+        p, k_cache, v_cache = layer
+        hn = rms_norm(xx, p["ln1"], cfg.rms_eps)
+        q = (hn @ p["wq"]).reshape(b, s, h, dh)
+        kk = (hn @ p["wk"]).reshape(b, s, hkv, dh)
+        vv = (hn @ p["wv"]).reshape(b, s, hkv, dh)
+        if cfg.qk_norm:
+            q = rms_norm(q, p["q_norm"], cfg.rms_eps)
+            kk = rms_norm(kk, p["k_norm"], cfg.rms_eps)
+        q = _rope(q, cos, sin)
+        kk = _rope(kk, cos, sin)
+        k_cache = update_cache(k_cache, kk, start)
+        v_cache = update_cache(v_cache, vv, start)
+        if use_flash:
+            from ..kernels.flash_decode import flash_gqa_decode
+            attn = flash_gqa_decode(q[:, 0], k_cache, v_cache, cache.lengths,
+                                    start, prompt_cap)[:, None]
+            attn = attn.reshape(b, s, h * dh)
+        else:
+            attn = gqa_attend(q, k_cache, v_cache, mask).reshape(b, s, h * dh)
+        xx = xx + attn @ p["wo"]
+        hn = rms_norm(xx, p["ln2"], cfg.rms_eps)
+        ff = jax.nn.silu(hn @ p["w_gate"]) * (hn @ p["w_up"])
+        xx = xx + ff @ p["w_down"]
+        return xx, (k_cache, v_cache)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer_fn, x, (params["layers"], cache.k, cache.v))
+    hidden = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    new_cache = cache.replace(k=new_k, v=new_v,
+                              write_idx=start + jnp.int32(s))
+    return hidden, new_cache
+
+
+def _rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    from ..ops.rope import apply_rope
+    return apply_rope(x, cos, sin)

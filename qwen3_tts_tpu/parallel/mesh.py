@@ -1,0 +1,109 @@
+"""Device mesh + sharding layer.
+
+The reference has no distributed story at all (SURVEY.md §2.4: its only
+concurrency is a decoder thread and llama.cpp's intra-op pool).  Here
+parallelism is first-class and expressed entirely through `jax.sharding`:
+
+  * axis "data"  — concurrent TTS streams (the batch dim of every activation
+    and of the KV cache).  This is the scaling axis for serving: v5e-8 runs
+    8x the streams at the same per-stream latency, with zero collectives.
+  * axis "model" — tensor parallelism over attention heads / MLP columns for
+    larger talker variants: qkv/gate/up are column-sharded, wo/down are
+    row-sharded, so each layer incurs exactly one psum on ICI (inserted by
+    XLA from the shardings; no hand-written collectives).
+
+Sharding is data-driven: params/caches are placed with NamedSharding and the
+jitted programs follow their operands, so the same model code runs 1-chip or
+N-chip unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int = 1, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    need = n_data * n_model
+    if need > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_model} needs {need} devices, "
+                         f"have {len(devices)}")
+    dev = np.asarray(devices[:need]).reshape(n_data, n_model)
+    return Mesh(dev, (DATA_AXIS, MODEL_AXIS))
+
+
+def decoder_param_specs() -> Dict[str, Any]:
+    """PartitionSpecs for the stacked decoder layer tree (talker/predictor).
+
+    Column-parallel: wq/wk/wv/w_gate/w_up (output features sharded over
+    "model"); row-parallel: wo/w_down (input features sharded) — the standard
+    Megatron split, expressed declaratively."""
+    return {
+        "ln1": P(), "ln2": P(),
+        "wq": P(None, None, MODEL_AXIS),
+        "wk": P(None, None, MODEL_AXIS),
+        "wv": P(None, None, MODEL_AXIS),
+        "wo": P(None, MODEL_AXIS, None),
+        "q_norm": P(), "k_norm": P(),
+        "w_gate": P(None, None, MODEL_AXIS),
+        "w_up": P(None, None, MODEL_AXIS),
+        "w_down": P(None, MODEL_AXIS, None),
+    }
+
+
+def talker_param_specs() -> Dict[str, Any]:
+    return {"layers": decoder_param_specs(), "final_norm": P(),
+            "codec_head": P()}
+
+
+def predictor_param_specs() -> Dict[str, Any]:
+    return {"layers": decoder_param_specs(), "final_norm": P(),
+            "lm_head": P()}
+
+
+def assets_pack_specs() -> Dict[str, Any]:
+    return {"codec_tables": P(), "codec_tables_1024": P(),
+            "proj_w": P(), "proj_b": P(), "tts_pad": P()}
+
+
+def kv_cache_spec():
+    """[L, B, Hkv, C, Dh]: batch over data, kv heads over model."""
+    return P(None, DATA_AXIS, MODEL_AXIS, None, None)
+
+
+def place(tree, mesh: Mesh, specs) -> Any:
+    """Device-put a pytree with matching PartitionSpec tree (specs may be a
+    single spec applied to all leaves)."""
+    if isinstance(specs, P):
+        return jax.tree.map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, specs)), tree)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def place_params(params, mesh: Mesh, specs: Dict[str, Any]):
+    """Place a parameter dict given a nested spec dict (missing keys get
+    replicated)."""
+    def walk(p, s):
+        if isinstance(p, dict):
+            return {k: walk(v, s.get(k, P()) if isinstance(s, dict) else s)
+                    for k, v in p.items()}
+        if isinstance(p, (tuple, list)):
+            return type(p)(walk(v, s) for v in p)
+        spec = s if isinstance(s, P) else P()
+        return jax.device_put(p, NamedSharding(mesh, spec))
+    return walk(params, specs)
+
+
+def batch_sharding(mesh: Mesh):
+    """Sharding for [B, ...] activations: batch over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))

@@ -1,0 +1,173 @@
+"""The fused, jittable generation loop.
+
+Replaces the reference's host-orchestrated hot loop (engine.rs:545-642),
+which crosses the Rust→C++ boundary ~16x per frame and bounces the talker
+hidden state through host memory every step.  Here one traced program per
+frame runs entirely on device:
+
+  sample code_0 (masked [0,2160), temperature/top-k/top-p, jax.random)
+  -> EOS flags -> project hidden 2048->1024 -> predictor prefill + 14-step
+  scan -> 15 residual codes -> feedback = sum of 16 codec embeds + tts_pad
+  -> talker decode step (M-RoPE position) -> next logits/hidden
+
+Frames are batched `frames_per_chunk` at a time with `lax.scan`, so the host
+dispatches once per 4-frame chunk (the streaming granularity of the
+reference's decoder thread, engine.rs:509-510).  Sampler parameters are
+traced scalars: changing temperature/top_k/top_p/seed never recompiles.
+
+Batch dimension B is native throughout — multi-stream serving shards it over
+the device mesh (parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core import protocol as P
+from ..core.config import EngineConfig
+from ..models import predictor as predictor_lib
+from ..models import talker as talker_lib
+from ..models.transformer import KVCache
+from ..ops.sampling import sample_logits
+
+
+@struct.dataclass
+class GenState:
+    cache: KVCache            # talker KV cache
+    logits: jnp.ndarray       # [B, V_codec] logits for the next code_0
+    hidden: jnp.ndarray       # [B, 2048] talker hidden at the sampled position
+    pos: jnp.ndarray          # [B] next logical position (prompt len + steps)
+    step: jnp.ndarray         # scalar int32: frames generated so far
+    done: jnp.ndarray         # [B] bool: stream hit EOS
+    key: jax.Array            # PRNG key
+
+
+@struct.dataclass
+class SamplerParams:
+    """Traced sampling scalars (no recompilation on change)."""
+    temperature: jnp.ndarray
+    top_k: jnp.ndarray
+    top_p: jnp.ndarray
+
+    @staticmethod
+    def make(cfg) -> "SamplerParams":
+        return SamplerParams(
+            temperature=jnp.float32(cfg.temperature),
+            top_k=jnp.int32(cfg.top_k),
+            top_p=jnp.float32(cfg.top_p))
+
+
+def prefill(cfg: EngineConfig, talker_params, embeds: jnp.ndarray,
+            lengths: jnp.ndarray, key: jax.Array) -> GenState:
+    """Build the initial GenState from a padded prompt batch.
+
+    embeds: [B, S_max, 2048] right-padded prompt embeddings;
+    lengths: [B] true prompt lengths.
+    """
+    b, s_max, _ = embeds.shape
+    # Round the cache capacity to a coarse bucket so changing max_steps does
+    # not change compiled shapes (the flash kernel also reads 512-slot
+    # chunks, so capacity stays aligned with its DMA granularity).
+    need = s_max + cfg.runtime.max_steps + cfg.runtime.frames_per_chunk
+    capacity = ((need + 511) // 512) * 512
+    cache = talker_lib.init_talker_cache(cfg.talker, b, capacity)
+    logits, hidden, cache = talker_lib.talker_prefill(
+        cfg.talker, talker_params, embeds, lengths, cache)
+    return GenState(
+        cache=cache, logits=logits, hidden=hidden,
+        pos=lengths.astype(jnp.int32),
+        step=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((b,), bool),
+        key=key)
+
+
+def gen_frames(cfg: EngineConfig, talker_params, predictor_params,
+               assets_pack: Dict[str, Any], state: GenState,
+               sampler: SamplerParams, n_frames: int, prompt_cap: int,
+               ) -> Tuple[GenState, jnp.ndarray, jnp.ndarray]:
+    """Generate `n_frames` frames (static count).
+
+    Returns (state, codes [B, n_frames, 16] int32, valid [B, n_frames] bool).
+    Frames after a stream's EOS are generated but flagged invalid, mirroring
+    the reference's early `break` (engine.rs:558-561) per stream.
+    """
+    tables_1024 = assets_pack["codec_tables_1024"]
+    proj_w = assets_pack["proj_w"].astype(jnp.float32)
+    proj_b = assets_pack["proj_b"].astype(jnp.float32)
+    tts_pad = assets_pack["tts_pad"].astype(jnp.float32)
+
+    def frame(state: GenState, _):
+        key, sub = jax.random.split(state.key)
+        code0 = sample_logits(state.logits, sub, sampler.temperature,
+                              sampler.top_k, sampler.top_p)  # [B]
+        eos = code0 == P.EOS            # 2150; 151673 unreachable in [0,2160)
+        done = state.done | eos
+
+        h1024 = (state.hidden.astype(jnp.float32) @ proj_w.T + proj_b)
+        codes = predictor_lib.predict_frame(
+            cfg.predictor, predictor_params, h1024, code0, tables_1024)
+
+        frame_emb = _frame_emb_sum(assets_pack["codec_tables"], codes)
+        feedback = frame_emb + tts_pad  # [B, 2048]
+
+        logits, hidden, cache = talker_lib.talker_decode_step(
+            cfg.talker, talker_params, feedback, state.pos, state.cache,
+            prompt_cap=prompt_cap)
+
+        new_state = GenState(
+            cache=cache, logits=logits, hidden=hidden, pos=state.pos + 1,
+            step=state.step + 1, done=done, key=key)
+        return new_state, (codes, ~done)
+
+    state, (codes, valid) = jax.lax.scan(frame, state, None, length=n_frames)
+    # scan stacks on axis 0: [n, B, ...] -> [B, n, ...]
+    return state, jnp.transpose(codes, (1, 0, 2)), jnp.transpose(valid, (1, 0))
+
+
+def _frame_emb_sum(codec_tables: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
+    """sum_q codec_tables[q][codes[:, q]] for codes [B, 16] -> [B, 2048]."""
+    n_q = codec_tables.shape[0]
+    rows = codec_tables.shape[1]
+    safe = jnp.clip(codes, 0, rows - 1)
+    # One fused gather: flatten (q, code) -> q * rows + code.
+    flat = codec_tables.reshape(n_q * rows, -1)
+    idx = jnp.arange(n_q, dtype=jnp.int32)[None, :] * rows + safe  # [B, 16]
+    gathered = jnp.take(flat, idx, axis=0)  # [B, 16, 2048]
+    return jnp.sum(gathered.astype(jnp.float32), axis=1)
+
+
+class Generator:
+    """Compiled-function holder: jits prefill and the chunked frame loop once
+    per (batch, prompt_cap) signature and keeps donation-friendly wrappers."""
+
+    def __init__(self, cfg: EngineConfig, talker_params, predictor_params,
+                 assets_pack):
+        self.cfg = cfg
+        self.talker_params = talker_params
+        self.predictor_params = predictor_params
+        self.assets_pack = assets_pack
+
+        self._prefill = jax.jit(
+            functools.partial(prefill, cfg), static_argnames=())
+        n = cfg.runtime.frames_per_chunk
+        self._gen_chunk = jax.jit(
+            functools.partial(gen_frames, cfg),
+            static_argnames=("n_frames", "prompt_cap"),
+            donate_argnames=("state",) if cfg.runtime.donate_cache else (),
+        )
+
+    def start(self, embeds: jnp.ndarray, lengths, key) -> GenState:
+        return self._prefill(self.talker_params, embeds,
+                             jnp.asarray(lengths, jnp.int32), key)
+
+    def chunk(self, state: GenState, sampler: SamplerParams, prompt_cap: int,
+              n_frames: int = None):
+        n = n_frames or self.cfg.runtime.frames_per_chunk
+        return self._gen_chunk(self.talker_params, self.predictor_params,
+                               self.assets_pack, state, sampler,
+                               n_frames=n, prompt_cap=prompt_cap)

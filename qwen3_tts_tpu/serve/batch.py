@@ -1,0 +1,137 @@
+"""Multi-stream batched serving.
+
+The reference is strictly single-stream (SURVEY.md §2.4).  Here the whole
+generation stack is batch-native, so serving N concurrent streams is the same
+compiled program with B=N — and with a device mesh, the batch dim shards over
+the "data" axis so streams scale across chips with zero cross-chip traffic
+(each stream's KV cache and codec state live on its own shard).
+
+Wave scheduling: requests are grouped into fixed-size waves; every stream in
+a wave prefills together (right-padded to a shared bucket), decodes together,
+and finishes independently via per-stream EOS masks (runtime.generate flags
+frames after EOS invalid).  A finished stream stops contributing audio but
+its lane keeps computing until the wave drains — the standard static-batching
+tradeoff; continuous batching (lane refill at chunk boundaries) is the
+planned next step and the state layout (per-slot lengths + masks) already
+supports it.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import protocol as P_
+from ..core.config import SamplerConfig
+from ..io.audio import AudioSample
+from ..io.voice_file import VoiceFile
+from ..models.codec import decoder as codec_decoder
+from ..parallel import mesh as mesh_lib
+from ..runtime.generate import SamplerParams
+
+
+@dataclass
+class BatchRequest:
+    text: str
+    voice: VoiceFile
+    instruct: Optional[str] = None
+
+
+@dataclass
+class BatchResult:
+    audio: AudioSample
+    frames: int
+    eos: bool
+
+
+class BatchSynthesizer:
+    """Synthesizes waves of `batch_size` streams on one engine's weights."""
+
+    def __init__(self, engine, batch_size: int = 8, mesh=None):
+        self.engine = engine
+        self.batch_size = int(batch_size)
+        self.mesh = mesh
+        if mesh is not None and mesh.size > 1:
+            eng = engine
+            eng.talker_params = mesh_lib.place_params(
+                eng.talker_params, mesh, mesh_lib.talker_param_specs())
+            eng.predictor_params = mesh_lib.place_params(
+                eng.predictor_params, mesh, mesh_lib.predictor_param_specs())
+            # Rebind the generator so it closes over the sharded params.
+            from ..runtime.generate import Generator
+            eng.generator = Generator(eng.config, eng.talker_params,
+                                      eng.predictor_params,
+                                      eng.assets.pack())
+
+    def synthesize(self, requests: Sequence[BatchRequest],
+                   ) -> List[BatchResult]:
+        out: List[BatchResult] = []
+        for lo in range(0, len(requests), self.batch_size):
+            out.extend(self._run_wave(requests[lo:lo + self.batch_size]))
+        return out
+
+    # ------------------------------------------------------------------
+    def _run_wave(self, wave: Sequence[BatchRequest]) -> List[BatchResult]:
+        eng = self.engine
+        cfg = eng.config
+        n_real = len(wave)
+        b = self.batch_size
+        spf = cfg.codec_decoder.samples_per_frame
+        n_chunk = cfg.runtime.frames_per_chunk
+
+        plans = [eng._build_voice_prompt(r.text, r.voice, r.instruct)
+                 for r in wave]
+        # pad lanes repeat the first plan
+        plans = plans + [plans[0]] * (b - n_real)
+        bucket = eng._bucket(max(p.length for p in plans))
+        embeds_j, lens = eng.prompt_to_device(plans, bucket)
+        if self.mesh is not None and self.mesh.size > 1:
+            embeds_j = jax.device_put(embeds_j,
+                                      mesh_lib.batch_sharding(self.mesh))
+
+        seed = eng.sampler_config.seed
+        if seed is None:
+            seed = time.time_ns() & 0x7FFFFFFFFFFFFFFF
+        state = eng.generator.start(embeds_j, jnp.asarray(lens),
+                                    jax.random.PRNGKey(seed))
+        sampler = SamplerParams.make(eng.sampler_config)
+        dec_state = codec_decoder.init_decoder_state(
+            cfg.codec_decoder, eng.codec_decoder_params, batch=b)
+
+        wavs: List[List[np.ndarray]] = [[] for _ in range(b)]
+        n_frames = np.zeros(b, np.int64)
+        saw_eos = np.zeros(b, bool)
+        steps = 0
+        while steps < eng.max_steps:
+            n = min(n_chunk, eng.max_steps - steps)
+            state, codes, valid = eng.generator.chunk(
+                state, sampler, prompt_cap=bucket, n_frames=n)
+            wav, dec_state = eng._decode_chunk(
+                eng.codec_decoder_params, codes, dec_state)
+            valid_np = np.asarray(valid)            # [B, n]
+            wav_np = np.asarray(wav)                # [B, n*spf]
+            steps += n
+            for i in range(b):
+                k = int(valid_np[i].sum())
+                if k > 0 and not saw_eos[i]:
+                    wavs[i].append(wav_np[i, : k * spf])
+                    n_frames[i] += k
+                if k < n:
+                    saw_eos[i] = True
+            if saw_eos.all():
+                break
+
+        results = []
+        for i in range(n_real):
+            samples = (np.concatenate(wavs[i]) if wavs[i]
+                       else np.zeros(0, np.float32))
+            results.append(BatchResult(
+                audio=AudioSample(samples=samples.astype(np.float32),
+                                  sample_rate=P_.SAMPLE_RATE, channels=1),
+                frames=int(n_frames[i]), eos=bool(saw_eos[i])))
+        return results

@@ -1,0 +1,43 @@
+"""Test configuration: force CPU with 8 virtual devices so unit tests and
+sharding tests run anywhere (no TPU needed), per SURVEY.md §4."""
+
+import os
+
+# Must happen before jax initializes a backend.  The environment here
+# force-registers a TPU platform (JAX_PLATFORMS=axon via sitecustomize), so
+# the env var must be overwritten, not defaulted, and the config updated
+# post-import as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def tiny_cfg():
+    from qwen3_tts_tpu.core.config import EngineConfig
+    return EngineConfig.tiny()
+
+
+@pytest.fixture(scope="session")
+def tiny_engine(tmp_path_factory, tiny_cfg):
+    """A fully wired engine with tiny random weights and one tiny speaker."""
+    from qwen3_tts_tpu.engine import TtsEngine
+    from qwen3_tts_tpu.io.voice_file import VoiceFile
+
+    model_dir = tmp_path_factory.mktemp("model")
+    spk_dir = model_dir / "preset_speakers"
+    spk_dir.mkdir()
+    rng = np.random.default_rng(0)
+    vf = VoiceFile.new("", [], rng.standard_normal(2048).astype(np.float32) * 0.02)
+    vf.name = "vivian"
+    vf.save(spk_dir / "vivian.json")
+    return TtsEngine(model_dir=model_dir, config=tiny_cfg)

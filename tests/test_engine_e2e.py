@@ -1,0 +1,112 @@
+"""End-to-end engine tests on the tiny config: text -> waveform, streaming,
+determinism with seeds, voice cloning path, speaker resolution."""
+
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.core.config import SamplerConfig
+from qwen3_tts_tpu.io.audio import AudioSample
+
+
+def test_generate_with_voice(tiny_engine):
+    eng = tiny_engine
+    eng.set_max_steps(8)
+    eng.set_sampler_config(SamplerConfig(temperature=0.7, top_k=40,
+                                         top_p=0.9, seed=42))
+    voice = eng.get_speaker("vivian")
+    audio = eng.generate_with_voice("hello world", voice)
+    spf = eng.config.codec_decoder.samples_per_frame
+    assert audio.sample_rate == 24000
+    assert audio.channels == 1
+    assert len(audio.samples) % spf == 0
+    assert len(audio.samples) <= 8 * spf
+    assert np.isfinite(audio.samples).all()
+    m = eng.last_metrics
+    assert m is not None and m.prefill_ms > 0 and m.total_ms > 0
+    if len(audio.samples):
+        assert m.ttft_ms is not None
+
+
+def test_seeded_generation_deterministic(tiny_engine):
+    eng = tiny_engine
+    eng.set_max_steps(6)
+    voice = eng.get_speaker("vivian")
+    eng.set_sampler_config(SamplerConfig(seed=123))
+    a = eng.generate_with_voice("abc", voice)
+    eng.set_sampler_config(SamplerConfig(seed=123))
+    b = eng.generate_with_voice("abc", voice)
+    np.testing.assert_array_equal(a.samples, b.samples)
+
+
+def test_streaming_matches_batch(tiny_engine):
+    eng = tiny_engine
+    eng.set_max_steps(8)
+    voice = eng.get_speaker("vivian")
+    eng.set_sampler_config(SamplerConfig(seed=7))
+    full = eng.generate_with_voice("stream me", voice)
+    eng.set_sampler_config(SamplerConfig(seed=7))
+    chunks = list(eng.generate_stream("stream me", voice))
+    streamed = (np.concatenate(chunks) if chunks
+                else np.zeros(0, np.float32))
+    np.testing.assert_allclose(streamed, full.samples, atol=1e-6)
+    # streaming granularity: every chunk except the last is <= 4 frames
+    spf = eng.config.codec_decoder.samples_per_frame
+    for c in chunks:
+        assert len(c) % spf == 0
+        assert len(c) <= eng.config.runtime.frames_per_chunk * spf
+
+
+def test_speaker_fallback(tiny_engine):
+    eng = tiny_engine
+    assert eng.get_speaker("vivian").name == "vivian"
+    assert eng.get_speaker("not-a-speaker").name == "vivian"  # fallback
+
+
+def test_create_voice_file_and_clone(tiny_engine, tmp_path):
+    eng = tiny_engine
+    rng = np.random.default_rng(0)
+    wav_path = tmp_path / "ref.wav"
+    spf_enc = 1
+    for r in eng.config.codec_encoder.downsample_factors:
+        spf_enc *= r
+    samples = (rng.standard_normal(spf_enc * 5) * 0.2).astype(np.float32)
+    AudioSample(samples=samples, sample_rate=24000).save_wav(wav_path)
+
+    vf = eng.create_voice_file(wav_path, "reference text")
+    assert vf.ref_text == "reference text"
+    assert len(vf.audio_codes) == 5 * 16
+    assert len(vf.speaker_embedding) == 2048
+
+    eng.set_max_steps(4)
+    eng.set_sampler_config(SamplerConfig(seed=1))
+    audio = eng.generate_with_voice("cloned text", vf)
+    assert np.isfinite(audio.samples).all()
+
+
+def test_generate_with_cache_sidecar(tiny_engine, tmp_path):
+    eng = tiny_engine
+    rng = np.random.default_rng(1)
+    wav_path = tmp_path / "r2.wav"
+    spf_enc = 1
+    for r in eng.config.codec_encoder.downsample_factors:
+        spf_enc *= r
+    AudioSample(samples=(rng.standard_normal(spf_enc * 3) * 0.2
+                         ).astype(np.float32), sample_rate=24000
+                ).save_wav(wav_path)
+    eng.set_max_steps(4)
+    audio = eng.generate("text", wav_path, "ref text")
+    assert np.isfinite(audio.samples).all()
+    assert wav_path.with_suffix(".cache").exists()  # sidecar written
+    # second call goes through the cache
+    audio2 = eng.generate("text", wav_path, "ref text")
+    assert np.isfinite(audio2.samples).all()
+
+
+def test_max_steps_budget(tiny_engine):
+    eng = tiny_engine
+    eng.set_max_steps(3)
+    eng.set_sampler_config(SamplerConfig(temperature=0.0, seed=0))
+    voice = eng.get_speaker("vivian")
+    audio = eng.generate_with_voice("budget", voice)
+    spf = eng.config.codec_decoder.samples_per_frame
+    assert len(audio.samples) <= 3 * spf

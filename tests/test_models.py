@@ -1,0 +1,102 @@
+"""Talker/predictor model tests: shapes, KV-cache consistency, and the
+prefill-vs-incremental equivalence that validates the whole cache design."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qwen3_tts_tpu.core.config import PredictorConfig, TalkerConfig
+from qwen3_tts_tpu.models import predictor as predictor_lib
+from qwen3_tts_tpu.models import talker as talker_lib
+from qwen3_tts_tpu.models import transformer
+
+
+@pytest.fixture(scope="module")
+def talker():
+    cfg = TalkerConfig.tiny()
+    params = talker_lib.init_talker_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def test_talker_prefill_shapes(talker):
+    cfg, params = talker
+    b, s = 2, 12
+    embeds = jax.random.normal(jax.random.PRNGKey(1), (b, s, cfg.d_model))
+    lengths = jnp.asarray([12, 7])
+    cache = talker_lib.init_talker_cache(cfg, b, s + 8)
+    logits, hidden, cache = talker_lib.talker_prefill(
+        cfg, params, embeds, lengths, cache)
+    assert logits.shape == (b, cfg.n_codec_logits)
+    assert hidden.shape == (b, cfg.d_model)
+    assert int(cache.write_idx) == s
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_talker_padding_invariance(talker):
+    """A stream's logits must not depend on padding beyond its length."""
+    cfg, params = talker
+    s = 10
+    emb = jax.random.normal(jax.random.PRNGKey(2), (1, 6, cfg.d_model))
+    pad_a = jnp.zeros((1, s - 6, cfg.d_model))
+    pad_b = jax.random.normal(jax.random.PRNGKey(3), (1, s - 6, cfg.d_model))
+    lengths = jnp.asarray([6])
+
+    out = []
+    for pad in (pad_a, pad_b):
+        cache = talker_lib.init_talker_cache(cfg, 1, s + 4)
+        logits, hidden, _ = talker_lib.talker_prefill(
+            cfg, params, jnp.concatenate([emb, pad], 1), lengths, cache)
+        out.append((np.asarray(logits), np.asarray(hidden)))
+    np.testing.assert_allclose(out[0][0], out[1][0], atol=1e-5)
+    np.testing.assert_allclose(out[0][1], out[1][1], atol=1e-5)
+
+
+def test_talker_incremental_matches_prefill(talker):
+    """Decoding token-by-token through the cache must reproduce the
+    all-at-once prefill hidden states (core KV-cache correctness)."""
+    cfg, params = talker
+    s = 8
+    embeds = jax.random.normal(jax.random.PRNGKey(4), (1, s, cfg.d_model))
+    lengths = jnp.asarray([s])
+
+    cache = talker_lib.init_talker_cache(cfg, 1, s + 4)
+    logits_full, hidden_full, _ = talker_lib.talker_prefill(
+        cfg, params, embeds, lengths, cache)
+
+    # incremental: prefill the first s-1 tokens, then decode the last one.
+    cache2 = talker_lib.init_talker_cache(cfg, 1, s + 4)
+    _, _, cache2 = talker_lib.talker_prefill(
+        cfg, params, embeds[:, :s - 1], jnp.asarray([s - 1]), cache2)
+    logits_inc, hidden_inc, _ = talker_lib.talker_decode_step(
+        cfg, params, embeds[:, s - 1], jnp.asarray([s - 1]), cache2,
+        prompt_cap=s - 1)
+    np.testing.assert_allclose(np.asarray(hidden_inc), np.asarray(hidden_full),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits_inc), np.asarray(logits_full),
+                               atol=2e-3)
+
+
+def test_predictor_frame(talker):
+    cfg = PredictorConfig.tiny()
+    params = predictor_lib.init_predictor_params(cfg, jax.random.PRNGKey(5))
+    b = 3
+    tables = jax.random.normal(jax.random.PRNGKey(6), (16, 64, cfg.d_model))
+    h = jax.random.normal(jax.random.PRNGKey(7), (b, cfg.d_model))
+    code0 = jnp.asarray([1, 5, 63])
+    codes = predictor_lib.predict_frame(cfg, params, h, code0, tables)
+    assert codes.shape == (b, 16)
+    assert np.array_equal(np.asarray(codes[:, 0]), np.asarray(code0))
+    assert (np.asarray(codes[:, 1:]) >= 0).all()
+    assert (np.asarray(codes[:, 1:]) < cfg.codebook_size).all()
+
+
+def test_predictor_deterministic():
+    cfg = PredictorConfig.tiny()
+    params = predictor_lib.init_predictor_params(cfg, jax.random.PRNGKey(5))
+    tables = jax.random.normal(jax.random.PRNGKey(6), (16, 64, cfg.d_model))
+    h = jax.random.normal(jax.random.PRNGKey(8), (1, cfg.d_model))
+    code0 = jnp.asarray([0])
+    a = predictor_lib.predict_frame(cfg, params, h, code0, tables)
+    b = predictor_lib.predict_frame(cfg, params, h, code0, tables)
+    assert np.array_equal(np.asarray(a), np.asarray(b))
