@@ -61,10 +61,12 @@ def main() -> None:
                                 top_k=jnp.int32(40), top_p=jnp.float32(0.9))
     spf = cfg.codec_decoder.samples_per_frame
 
+    from qwen3_tts_tpu.utils.sync import hard_sync
+
     def run_once(seed: int):
         t0 = time.perf_counter()
         state = generator.start(embeds, lengths, jax.random.PRNGKey(seed))
-        state.logits.block_until_ready()
+        hard_sync(state.logits)
         t_prefill = time.perf_counter() - t0
         dec_state = codec_decoder.init_decoder_state(
             cfg.codec_decoder, dec_params, batch=1)
@@ -74,9 +76,9 @@ def main() -> None:
                 state, sampler, prompt_cap=PROMPT_CAP, n_frames=CHUNK)
             wav, dec_state = decode_chunk(dec_params, codes, dec_state)
             if i == 0:
-                wav.block_until_ready()
+                hard_sync(wav)
                 ttft = time.perf_counter() - t0
-        wav.block_until_ready()
+        hard_sync(wav)
         total = time.perf_counter() - t0
         return t_prefill, ttft, total
 

@@ -1,0 +1,95 @@
+"""Multi-stream serving benchmark: how many concurrent streams sustain
+RTF < 1 on the available device(s).
+
+Measures steady-state frames/sec of the batched generation loop (LM + codec)
+at increasing batch sizes and reports streams supported at real-time, i.e.
+total_frames_per_sec / 12 fps.  Run separately from bench.py (compiles
+per-batch-size programs).
+
+Usage: python bench_serving.py [--batches 1,4,8] [--frames 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="1,4,8")
+    ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument("--prompt-cap", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from qwen3_tts_tpu.core import protocol as P
+    from qwen3_tts_tpu.core.config import EngineConfig
+    from qwen3_tts_tpu.io.assets import Assets
+    from qwen3_tts_tpu.models import predictor as predictor_lib
+    from qwen3_tts_tpu.models import talker as talker_lib
+    from qwen3_tts_tpu.models.codec import decoder as codec_decoder
+    from qwen3_tts_tpu.runtime import generate as gen
+    from qwen3_tts_tpu.engine import _enable_compilation_cache
+
+    _enable_compilation_cache()
+    cfg = EngineConfig()
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    talker_params = jax.jit(
+        lambda k: talker_lib.init_talker_params(cfg.talker, k))(k1)
+    predictor_params = jax.jit(
+        lambda k: predictor_lib.init_predictor_params(cfg.predictor, k))(k2)
+    assets = Assets.random_init(k3, text_rows=2048, codec_rows=4096,
+                                dtype=jnp.bfloat16)
+    pack = assets.pack()
+    dec_params = jax.jit(
+        lambda k: codec_decoder.init_decoder_params(cfg.codec_decoder, k))(k4)
+    generator = gen.Generator(cfg, talker_params, predictor_params, pack)
+    decode_chunk = jax.jit(
+        lambda p, c, s: codec_decoder.decode_chunk(cfg.codec_decoder, p, c, s),
+        donate_argnums=(2,))
+    sampler = gen.SamplerParams(temperature=jnp.float32(0.7),
+                                top_k=jnp.int32(40), top_p=jnp.float32(0.9))
+    spf = cfg.codec_decoder.samples_per_frame
+    results = []
+    for b in [int(x) for x in args.batches.split(",")]:
+        embeds = jax.random.normal(
+            jax.random.PRNGKey(b), (b, args.prompt_cap, cfg.talker.d_model),
+            jnp.float32) * 0.02
+        lengths = jnp.full((b,), args.prompt_cap, jnp.int32)
+
+        def run():
+            t0 = time.perf_counter()
+            state = generator.start(embeds, lengths, jax.random.PRNGKey(1))
+            dec_state = codec_decoder.init_decoder_state(
+                cfg.codec_decoder, dec_params, batch=b)
+            for _ in range(args.frames // 4):
+                state, codes, valid = generator.chunk(
+                    state, sampler, prompt_cap=args.prompt_cap, n_frames=4)
+                wav, dec_state = decode_chunk(dec_params, codes, dec_state)
+            from qwen3_tts_tpu.utils.sync import hard_sync
+            hard_sync(wav)
+            return time.perf_counter() - t0
+
+        run()           # compile
+        t = min(run() for _ in range(2))
+        audio_s = args.frames / 12.0
+        rtf = t / audio_s
+        streams_rt = b / rtf
+        results.append({"batch": b, "rtf_per_stream": round(rtf, 4),
+                        "streams_at_rtf_1": round(streams_rt, 2),
+                        "wall_s": round(t, 3)})
+        print(json.dumps(results[-1]), flush=True)
+
+    best = max(results, key=lambda r: r["streams_at_rtf_1"])
+    print(json.dumps({"metric": "streams_at_rtf_lt_1",
+                      "value": best["streams_at_rtf_1"],
+                      "unit": "concurrent 24kHz streams",
+                      "best_batch": best["batch"]}))
+
+
+if __name__ == "__main__":
+    main()

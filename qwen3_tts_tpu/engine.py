@@ -77,6 +77,8 @@ class TtsEngine:
                  config: Optional[EngineConfig] = None, init_seed: int = 0,
                  speakers_dir=None):
         _enable_compilation_cache()
+        from .utils.tracing import apply_debug_flags
+        apply_debug_flags()
         self.model_dir = Path(model_dir)
         self.quant = quant
         self.config = config or EngineConfig()
@@ -101,12 +103,15 @@ class TtsEngine:
             import functools
             return jax.jit(functools.partial(fn, cfg_obj))(k)
 
-        # 1. Assets (embedding tables + projection).
+        # 1. Assets (embedding tables + projection).  Tables live in the
+        # talker's compute dtype (bf16 in production: halves HBM traffic of
+        # the gather-heavy feedback path).
+        table_dtype = jnp.dtype(self.config.talker.dtype)
         try:
-            self.assets = Assets.load(weights_dir)
+            self.assets = Assets.load(weights_dir, dtype=table_dtype)
             self._random_weights = False
         except FileNotFoundError:
-            self.assets = Assets.random_init(k_assets)
+            self.assets = Assets.random_init(k_assets, dtype=table_dtype)
             self._random_weights = True
 
         # 2. Tokenizer.
@@ -152,7 +157,8 @@ class TtsEngine:
 
         # 5. Compiled programs.
         self.generator = Generator(self.config, self.talker_params,
-                                   self.predictor_params, self.assets.pack())
+                                   self.predictor_params, self.assets.pack(),
+                                   codec_params=self.codec_decoder_params)
         # Batched device-side prompt assembly (prompt.assemble vmapped over
         # streams): integer plans cross to the device, never the tables.
         self._assemble = jax.jit(jax.vmap(
@@ -312,6 +318,24 @@ class TtsEngine:
             jnp.asarray(lengths))
         return embeds, lengths
 
+    def generate_long(self, text: str, voice: VoiceFile,
+                      instruct: Optional[str] = None,
+                      max_chars: int = 120) -> AudioSample:
+        """Long-text synthesis by sentence chunking (SURVEY.md §5: long
+        context handled at the engine level, not with a bigger window).
+        Splits on sentence punctuation into <= max_chars pieces, synthesizes
+        each with the same voice/instruction, and concatenates the audio."""
+        pieces = split_sentences(text, max_chars)
+        parts = []
+        for piece in pieces:
+            audio = self.generate_with_voice(piece, voice, instruct)
+            if len(audio.samples):
+                parts.append(audio.samples)
+        samples = (np.concatenate(parts) if parts
+                   else np.zeros(0, np.float32))
+        return AudioSample(samples=samples, sample_rate=P.SAMPLE_RATE,
+                           channels=1)
+
     def _run_inference(self, plan: PromptPlan) -> AudioSample:
         parts = list(self._stream_inference(plan))
         samples = (np.concatenate(parts) if parts
@@ -327,8 +351,20 @@ class TtsEngine:
         watch = Stopwatch()
         t_start = time.perf_counter()
 
+        trace = os.environ.get("QTTS_TIMING")
+
+        def tlog(msg):
+            if trace:
+                print(f"[qtts-timing] {msg}: {watch.elapsed_ms():.0f} ms "
+                      f"(t+{(time.perf_counter()-t_start)*1000:.0f} ms)",
+                      flush=True)
+
         bucket = self._bucket(plan.length)
         embeds, lengths = self.prompt_to_device(plan, bucket)
+        if trace:
+            from .utils.sync import hard_sync as _hs
+            _hs(embeds)
+        tlog("prompt assembled")
 
         seed = self.sampler_config.seed
         if seed is None:
@@ -336,6 +372,10 @@ class TtsEngine:
         key = jax.random.PRNGKey(seed)
 
         state = self.generator.start(embeds, lengths, key)
+        if trace:
+            from .utils.sync import hard_sync as _hs
+            _hs(state.logits)
+        tlog("prefill")
         sampler = SamplerParams.make(self.sampler_config)
         dec_state = codec_decoder.init_decoder_state(
             cfg.codec_decoder, self.codec_decoder_params, batch=1)
@@ -350,10 +390,14 @@ class TtsEngine:
             # converts/emits chunk k (1-chunk lookahead pipeline).
             if steps < self.max_steps:
                 n = min(n_chunk, self.max_steps - steps)
-                state, codes, valid = self.generator.chunk(
-                    state, sampler, prompt_cap=bucket, n_frames=n)
-                wav, dec_state = self._decode_chunk(
-                    self.codec_decoder_params, codes, dec_state)
+                state, dec_state, codes, valid, wav = \
+                    self.generator.chunk_with_audio(
+                        state, dec_state, sampler, prompt_cap=bucket,
+                        n_frames=n)
+                if trace and steps == 0:
+                    from .utils.sync import hard_sync as _hs
+                    _hs(wav)
+                    tlog("fused lm+codec chunk 0")
                 steps += n
                 nxt = (wav, valid, n)
             else:
@@ -396,6 +440,27 @@ class TtsEngine:
             data = np.load(path, allow_pickle=False)
             return _unflatten_npz(dict(data))
         return fallback()
+
+
+_SENTENCE_ENDS = set(".!?;。！？；…\n")
+
+
+def split_sentences(text: str, max_chars: int = 120):
+    """Greedy sentence-boundary chunking for long-text generation."""
+    pieces, cur = [], []
+    count = 0
+    for ch in text:
+        cur.append(ch)
+        count += 1
+        if ch in _SENTENCE_ENDS and count >= 4:
+            pieces.append("".join(cur).strip())
+            cur, count = [], 0
+        elif count >= max_chars:
+            pieces.append("".join(cur).strip())
+            cur, count = [], 0
+    if cur and "".join(cur).strip():
+        pieces.append("".join(cur).strip())
+    return [p for p in pieces if p]
 
 
 def _unflatten_npz(flat: Dict[str, np.ndarray]):

@@ -141,24 +141,53 @@ def _frame_emb_sum(codec_tables: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray
     return jnp.sum(gathered.astype(jnp.float32), axis=1)
 
 
+def gen_frames_with_audio(cfg: EngineConfig, talker_params, predictor_params,
+                          assets_pack, codec_params, state: GenState,
+                          dec_state, sampler: SamplerParams, n_frames: int,
+                          prompt_cap: int):
+    """Fused LM chunk + codec decode: ONE device program per audio chunk.
+
+    The reference needs a separate decoder thread to overlap codec decode
+    with generation (engine.rs:487-543); fusing both into one XLA program
+    removes a host round-trip per chunk entirely — on high-latency transports
+    (remote TPU) that halves the steady-state per-chunk overhead.
+    Returns (state, dec_state, codes, valid, wav [B, n*spf]).
+    """
+    from ..models.codec import decoder as codec_decoder
+    state, codes, valid = gen_frames(cfg, talker_params, predictor_params,
+                                     assets_pack, state, sampler, n_frames,
+                                     prompt_cap)
+    wav, dec_state = codec_decoder.decode_chunk(cfg.codec_decoder,
+                                                codec_params, codes,
+                                                dec_state)
+    return state, dec_state, codes, valid, wav
+
+
 class Generator:
     """Compiled-function holder: jits prefill and the chunked frame loop once
     per (batch, prompt_cap) signature and keeps donation-friendly wrappers."""
 
     def __init__(self, cfg: EngineConfig, talker_params, predictor_params,
-                 assets_pack):
+                 assets_pack, codec_params=None):
         self.cfg = cfg
         self.talker_params = talker_params
         self.predictor_params = predictor_params
         self.assets_pack = assets_pack
+        self.codec_params = codec_params
 
         self._prefill = jax.jit(
             functools.partial(prefill, cfg), static_argnames=())
-        n = cfg.runtime.frames_per_chunk
+        donate = ("state",) if cfg.runtime.donate_cache else ()
         self._gen_chunk = jax.jit(
             functools.partial(gen_frames, cfg),
             static_argnames=("n_frames", "prompt_cap"),
-            donate_argnames=("state",) if cfg.runtime.donate_cache else (),
+            donate_argnames=donate,
+        )
+        self._gen_chunk_audio = jax.jit(
+            functools.partial(gen_frames_with_audio, cfg),
+            static_argnames=("n_frames", "prompt_cap"),
+            donate_argnames=(donate + ("dec_state",)
+                             if cfg.runtime.donate_cache else ()),
         )
 
     def start(self, embeds: jnp.ndarray, lengths, key) -> GenState:
@@ -171,3 +200,14 @@ class Generator:
         return self._gen_chunk(self.talker_params, self.predictor_params,
                                self.assets_pack, state, sampler,
                                n_frames=n, prompt_cap=prompt_cap)
+
+    def chunk_with_audio(self, state: GenState, dec_state,
+                         sampler: SamplerParams, prompt_cap: int,
+                         n_frames: int = None):
+        if self.codec_params is None:
+            raise ValueError("Generator built without codec_params")
+        n = n_frames or self.cfg.runtime.frames_per_chunk
+        return self._gen_chunk_audio(
+            self.talker_params, self.predictor_params, self.assets_pack,
+            self.codec_params, state, dec_state, sampler,
+            n_frames=n, prompt_cap=prompt_cap)

@@ -66,7 +66,8 @@ class BatchSynthesizer:
             from ..runtime.generate import Generator
             eng.generator = Generator(eng.config, eng.talker_params,
                                       eng.predictor_params,
-                                      eng.assets.pack())
+                                      eng.assets.pack(),
+                                      codec_params=eng.codec_decoder_params)
 
     def synthesize(self, requests: Sequence[BatchRequest],
                    ) -> List[BatchResult]:
@@ -109,10 +110,9 @@ class BatchSynthesizer:
         steps = 0
         while steps < eng.max_steps:
             n = min(n_chunk, eng.max_steps - steps)
-            state, codes, valid = eng.generator.chunk(
-                state, sampler, prompt_cap=bucket, n_frames=n)
-            wav, dec_state = eng._decode_chunk(
-                eng.codec_decoder_params, codes, dec_state)
+            state, dec_state, codes, valid, wav = \
+                eng.generator.chunk_with_audio(
+                    state, dec_state, sampler, prompt_cap=bucket, n_frames=n)
             valid_np = np.asarray(valid)            # [B, n]
             wav_np = np.asarray(wav)                # [B, n*spf]
             steps += n

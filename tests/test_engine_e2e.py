@@ -110,3 +110,25 @@ def test_max_steps_budget(tiny_engine):
     audio = eng.generate_with_voice("budget", voice)
     spf = eng.config.codec_decoder.samples_per_frame
     assert len(audio.samples) <= 3 * spf
+
+
+def test_split_sentences():
+    from qwen3_tts_tpu.engine import split_sentences
+    text = "First sentence. Second one! Third? " + "x" * 150
+    pieces = split_sentences(text, max_chars=120)
+    assert pieces[0] == "First sentence."
+    assert pieces[1] == "Second one!"
+    assert pieces[2] == "Third?"
+    assert all(len(p) <= 120 for p in pieces)
+    assert "".join(pieces).replace(" ", "") == text.replace(" ", "")
+
+
+def test_generate_long(tiny_engine):
+    eng = tiny_engine
+    eng.set_max_steps(4)
+    from qwen3_tts_tpu.core.config import SamplerConfig as SC
+    eng.set_sampler_config(SC(seed=2))
+    voice = eng.get_speaker("vivian")
+    audio = eng.generate_long("One. Two. Three.", voice)
+    assert audio.sample_rate == 24000
+    assert np.isfinite(audio.samples).all()
