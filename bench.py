@@ -37,22 +37,38 @@ def main() -> None:
     from qwen3_tts_tpu.models.codec import decoder as codec_decoder
     from qwen3_tts_tpu.runtime import generate as gen
 
+    import functools
+    from qwen3_tts_tpu.ops import quant as quant_ops
+
     cfg = EngineConfig()
     dev = jax.devices()[0]
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
-    talker_params = talker_lib.init_talker_params(cfg.talker, k1)
-    predictor_params = predictor_lib.init_predictor_params(cfg.predictor, k2)
+    talker_params = jax.jit(
+        functools.partial(talker_lib.init_talker_params, cfg.talker))(k1)
+    predictor_params = jax.jit(
+        functools.partial(predictor_lib.init_predictor_params,
+                          cfg.predictor))(k2)
+    # int8 device weights: the production serving configuration (the
+    # reference's own numbers are for Q5/Q8-quantized weights).
+    talker_params = jax.jit(lambda p: {
+        "layers": quant_ops.quantize_decoder_layers(p["layers"]),
+        "final_norm": p["final_norm"],
+        "codec_head": quant_ops.quantize_head(p["codec_head"])})(talker_params)
+    predictor_params = jax.jit(lambda p: {
+        "layers": quant_ops.quantize_decoder_layers(p["layers"]),
+        "final_norm": p["final_norm"],
+        "lm_head": quant_ops.quantize_head(p["lm_head"])})(predictor_params)
     assets = Assets.random_init(k3, text_rows=4096, codec_rows=4096,
                                 dtype=jnp.bfloat16)
     pack = assets.pack()
-    dec_params = codec_decoder.init_decoder_params(cfg.codec_decoder, k4)
+    dec_params = jax.jit(
+        functools.partial(codec_decoder.init_decoder_params,
+                          cfg.codec_decoder))(k4)
 
-    generator = gen.Generator(cfg, talker_params, predictor_params, pack)
-    decode_chunk = jax.jit(
-        lambda p, c, s: codec_decoder.decode_chunk(cfg.codec_decoder, p, c, s),
-        donate_argnums=(2,))
+    generator = gen.Generator(cfg, talker_params, predictor_params, pack,
+                              codec_params=dec_params)
 
     embeds = jax.random.normal(
         k5, (1, PROMPT_CAP, cfg.talker.d_model), jnp.float32) * 0.02
@@ -72,9 +88,9 @@ def main() -> None:
             cfg.codec_decoder, dec_params, batch=1)
         ttft = None
         for i in range(FRAMES // CHUNK):
-            state, codes, valid = generator.chunk(
-                state, sampler, prompt_cap=PROMPT_CAP, n_frames=CHUNK)
-            wav, dec_state = decode_chunk(dec_params, codes, dec_state)
+            state, dec_state, codes, valid, wav = generator.chunk_with_audio(
+                state, dec_state, sampler, prompt_cap=PROMPT_CAP,
+                n_frames=CHUNK)
             if i == 0:
                 hard_sync(wav)
                 ttft = time.perf_counter() - t0
@@ -103,6 +119,7 @@ def main() -> None:
         "audio_seconds": round(audio_s, 3),
         "device": str(dev),
         "talker_layers": cfg.talker.n_layers,
+        "weights": "int8",
         "baseline_rtf": BASELINE_RTF,
     }))
 

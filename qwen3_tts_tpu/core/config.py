@@ -215,6 +215,10 @@ class EngineConfig:
     sampler: SamplerConfig = field(default_factory=SamplerConfig)
     text_vocab_size: int = 151_936
     lang_id: int = P.DEFAULT_LANG_ID
+    # int8 device weights for the two LMs (halves the HBM stream that sets
+    # decode latency).  None = follow the `quant` argument of the engine
+    # (quantized GGUF source -> int8 device weights).
+    int8_weights: Optional[bool] = None
 
     @staticmethod
     def tiny() -> "EngineConfig":

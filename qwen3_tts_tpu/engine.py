@@ -155,6 +155,23 @@ class TtsEngine:
             lambda: _jinit(speaker_lib.init_speaker_params,
                            self.config.speaker_encoder, k_spk))
 
+        # 4.5 Optional int8 device weights for the LMs (memory-bound decode).
+        use_int8 = self.config.int8_weights
+        if use_int8 is None:
+            use_int8 = quant != "none"
+        if use_int8:
+            from .ops import quant as quant_ops
+            self.talker_params = jax.jit(lambda p: {
+                "layers": quant_ops.quantize_decoder_layers(p["layers"]),
+                "final_norm": p["final_norm"],
+                "codec_head": quant_ops.quantize_head(p["codec_head"]),
+            })(self.talker_params)
+            self.predictor_params = jax.jit(lambda p: {
+                "layers": quant_ops.quantize_decoder_layers(p["layers"]),
+                "final_norm": p["final_norm"],
+                "lm_head": quant_ops.quantize_head(p["lm_head"]),
+            })(self.predictor_params)
+
         # 5. Compiled programs.
         self.generator = Generator(self.config, self.talker_params,
                                    self.predictor_params, self.assets.pack(),
@@ -425,6 +442,8 @@ class TtsEngine:
         metrics.frames = frames_emitted
         metrics.audio_seconds = frames_emitted * spf / P.SAMPLE_RATE
         self.last_metrics = metrics
+        from .utils.logging import log_event
+        log_event("generation", **metrics.as_dict())
 
     def _bucket(self, s: int) -> int:
         """Round the prompt length up to a reuse-friendly bucket."""

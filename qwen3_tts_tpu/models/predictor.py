@@ -36,9 +36,8 @@ def init_predictor_params(cfg: PredictorConfig, key: jax.Array) -> Dict[str, Any
 
 
 def _logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum("bd,vd->bv", hidden.astype(jnp.float32),
-                      params["lm_head"].astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
+    from ..ops.quant import head_matmul
+    return head_matmul(hidden, params["lm_head"])
 
 
 def predict_frame(cfg: PredictorConfig, params, h1024: jnp.ndarray,

@@ -90,9 +90,8 @@ def talker_decode_step(cfg: TalkerConfig, params, embed: jnp.ndarray,
 
 
 def _codec_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum("bd,vd->bv", hidden.astype(jnp.float32),
-                      params["codec_head"].astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
+    from ..ops.quant import head_matmul
+    return head_matmul(hidden, params["codec_head"])
 
 
 def init_talker_cache(cfg: TalkerConfig, batch: int, capacity: int) -> KVCache:

@@ -22,6 +22,7 @@ from flax import struct
 
 from ..ops.attention import gqa_attend, history_mask, update_cache
 from ..ops.norms import rms_norm
+from ..ops.quant import matmul as _mm
 
 
 @struct.dataclass
@@ -101,9 +102,9 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
         xx = carry
         p, k_cache, v_cache = layer
         hn = rms_norm(xx, p["ln1"], cfg.rms_eps)
-        q = (hn @ p["wq"]).reshape(b, s, h, dh)
-        kk = (hn @ p["wk"]).reshape(b, s, hkv, dh)
-        vv = (hn @ p["wv"]).reshape(b, s, hkv, dh)
+        q = _mm(hn, p["wq"]).reshape(b, s, h, dh)
+        kk = _mm(hn, p["wk"]).reshape(b, s, hkv, dh)
+        vv = _mm(hn, p["wv"]).reshape(b, s, hkv, dh)
         if cfg.qk_norm:
             q = rms_norm(q, p["q_norm"], cfg.rms_eps)
             kk = rms_norm(kk, p["k_norm"], cfg.rms_eps)
@@ -118,10 +119,10 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
             attn = attn.reshape(b, s, h * dh)
         else:
             attn = gqa_attend(q, k_cache, v_cache, mask).reshape(b, s, h * dh)
-        xx = xx + attn @ p["wo"]
+        xx = xx + _mm(attn, p["wo"])
         hn = rms_norm(xx, p["ln2"], cfg.rms_eps)
-        ff = jax.nn.silu(hn @ p["w_gate"]) * (hn @ p["w_up"])
-        xx = xx + ff @ p["w_down"]
+        ff = jax.nn.silu(_mm(hn, p["w_gate"])) * _mm(hn, p["w_up"])
+        xx = xx + _mm(ff, p["w_down"])
         return xx, (k_cache, v_cache)
 
     x, (new_k, new_v) = jax.lax.scan(
