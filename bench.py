@@ -106,6 +106,28 @@ def main() -> None:
     ttft = float(np.mean([r[1] for r in runs]))
     total = float(np.mean([r[2] for r in runs]))
 
+    # Multi-stream serving: batch=8 throughput -> streams sustaining RTF<1.
+    B, SFRAMES = 8, 48
+    embeds8 = jax.random.normal(k5, (B, PROMPT_CAP, cfg.talker.d_model),
+                                jnp.float32) * 0.02
+    lengths8 = jnp.full((B,), PROMPT_CAP, jnp.int32)
+
+    def run_batch():
+        t0 = time.perf_counter()
+        state = generator.start(embeds8, lengths8, jax.random.PRNGKey(9))
+        dec_state = codec_decoder.init_decoder_state(
+            cfg.codec_decoder, dec_params, batch=B)
+        for _ in range(SFRAMES // CHUNK):
+            state, dec_state, codes, valid, wav = generator.chunk_with_audio(
+                state, dec_state, sampler, prompt_cap=PROMPT_CAP,
+                n_frames=CHUNK)
+        hard_sync(wav)
+        return time.perf_counter() - t0
+
+    run_batch()
+    t_batch = min(run_batch() for _ in range(2))
+    streams_rt = B / (t_batch / (SFRAMES / 12.0))
+
     audio_s = FRAMES * spf / P.SAMPLE_RATE
     rtf = total / audio_s
     print(json.dumps({
@@ -120,6 +142,7 @@ def main() -> None:
         "device": str(dev),
         "talker_layers": cfg.talker.n_layers,
         "weights": "int8",
+        "streams_at_rtf_lt_1_batch8": round(streams_rt, 1),
         "baseline_rtf": BASELINE_RTF,
     }))
 

@@ -47,10 +47,17 @@ def main() -> None:
     pack = assets.pack()
     dec_params = jax.jit(
         lambda k: codec_decoder.init_decoder_params(cfg.codec_decoder, k))(k4)
-    generator = gen.Generator(cfg, talker_params, predictor_params, pack)
-    decode_chunk = jax.jit(
-        lambda p, c, s: codec_decoder.decode_chunk(cfg.codec_decoder, p, c, s),
-        donate_argnums=(2,))
+    from qwen3_tts_tpu.ops import quant as quant_ops
+    talker_params = jax.jit(lambda p: {
+        "layers": quant_ops.quantize_decoder_layers(p["layers"]),
+        "final_norm": p["final_norm"],
+        "codec_head": quant_ops.quantize_head(p["codec_head"])})(talker_params)
+    predictor_params = jax.jit(lambda p: {
+        "layers": quant_ops.quantize_decoder_layers(p["layers"]),
+        "final_norm": p["final_norm"],
+        "lm_head": quant_ops.quantize_head(p["lm_head"])})(predictor_params)
+    generator = gen.Generator(cfg, talker_params, predictor_params, pack,
+                              codec_params=dec_params)
     sampler = gen.SamplerParams(temperature=jnp.float32(0.7),
                                 top_k=jnp.int32(40), top_p=jnp.float32(0.9))
     spf = cfg.codec_decoder.samples_per_frame
@@ -67,9 +74,10 @@ def main() -> None:
             dec_state = codec_decoder.init_decoder_state(
                 cfg.codec_decoder, dec_params, batch=b)
             for _ in range(args.frames // 4):
-                state, codes, valid = generator.chunk(
-                    state, sampler, prompt_cap=args.prompt_cap, n_frames=4)
-                wav, dec_state = decode_chunk(dec_params, codes, dec_state)
+                state, dec_state, codes, valid, wav = \
+                    generator.chunk_with_audio(
+                        state, dec_state, sampler,
+                        prompt_cap=args.prompt_cap, n_frames=4)
             from qwen3_tts_tpu.utils.sync import hard_sync
             hard_sync(wav)
             return time.perf_counter() - t0

@@ -31,8 +31,8 @@ NEG_INF = -1e30
 CHUNK = 512  # cache slots per DMA
 
 
-def _kernel(lengths_ref, start_ref, q_ref, k_hbm, v_hbm, o_ref,
-            k_scratch, v_scratch, sem_k, sem_v, *, prompt_cap: int,
+def _kernel(lengths_ref, start_ref, gen_start_ref, q_ref, k_hbm, v_hbm,
+            o_ref, k_scratch, v_scratch, sem_k, sem_v, *, prompt_cap: int,
             capacity: int, scale: float):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -40,6 +40,7 @@ def _kernel(lengths_ref, start_ref, q_ref, k_hbm, v_hbm, o_ref,
 
     length = lengths_ref[b]
     start = start_ref[0]
+    gen_start = gen_start_ref[b]
     valid_end = start + 1                      # slots [0, start] are visible
     n_chunks = pl.cdiv(valid_end, CHUNK)
 
@@ -73,7 +74,9 @@ def _kernel(lengths_ref, start_ref, q_ref, k_hbm, v_hbm, o_ref,
 
         c_idx = ci * CHUNK + jax.lax.broadcasted_iota(
             jnp.int32, (1, CHUNK), 1)                 # [1, CHUNK]
-        valid = (c_idx < length) | ((c_idx >= prompt_cap) & (c_idx <= start))
+        valid = (c_idx < length) | ((c_idx >= prompt_cap)
+                                    & (c_idx >= gen_start)
+                                    & (c_idx <= start))
         valid = valid & (c_idx < capacity)
 
         s = jax.lax.dot_general(
@@ -113,14 +116,18 @@ def use_flash_decode() -> bool:
 def flash_gqa_decode(q: jnp.ndarray, k_cache: jnp.ndarray,
                      v_cache: jnp.ndarray, lengths: jnp.ndarray,
                      write_idx: jnp.ndarray, prompt_cap: int,
+                     gen_start: jnp.ndarray = None,
                      interpret: bool = False) -> jnp.ndarray:
     """Single-token GQA decode attention.
 
     q: [B, H, Dh]; k_cache/v_cache: [B, Hkv, C, Dh]; lengths: [B] prompt
     lengths; write_idx: scalar — the slot of the current token (already
-    written to the cache).  Returns [B, H, Dh].
+    written to the cache); gen_start: optional [B] first valid generated
+    slot (continuous batching).  Returns [B, H, Dh].
     """
     b, hq, dh = q.shape
+    if gen_start is None:
+        gen_start = jnp.zeros((b,), jnp.int32)
     hkv, cap = k_cache.shape[1], k_cache.shape[2]
     g = hq // hkv
     q4 = q.reshape(b, hkv, g, dh)
@@ -136,7 +143,7 @@ def flash_gqa_decode(q: jnp.ndarray, k_cache: jnp.ndarray,
         functools.partial(_kernel, prompt_cap=prompt_cap, capacity=cap,
                           scale=dh ** -0.5),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, g, dh), lambda i, j, *_: (i, j, 0, 0),
@@ -157,5 +164,6 @@ def flash_gqa_decode(q: jnp.ndarray, k_cache: jnp.ndarray,
         interpret=interpret,
     )(lengths.astype(jnp.int32),
       jnp.asarray(write_idx, jnp.int32).reshape(1),
+      gen_start.astype(jnp.int32),
       q4, k_cache, v_cache)
     return out.reshape(b, hq, dh)

@@ -40,8 +40,9 @@ NEG_INF = -1e9
 class DecoderState:
     ring_k: jnp.ndarray       # [L, B, H, W, Dh] (post-RoPE keys)
     ring_v: jnp.ndarray       # [L, B, H, W, Dh]
-    ring_pos: jnp.ndarray     # [W] int32 absolute frame index per slot (-1 empty)
-    count: jnp.ndarray        # scalar int32: frames decoded so far
+    ring_pos: jnp.ndarray     # [B, W] int32 absolute frame index per slot (-1 empty)
+    count: jnp.ndarray        # [B] int32: frames decoded so far (per lane —
+    #                           continuous batching refills lanes mid-flight)
     conv_hist: Tuple[jnp.ndarray, ...]  # per-causal-conv input history
 
 
@@ -119,9 +120,26 @@ def init_decoder_state(cfg: CodecDecoderConfig, params, batch: int) -> DecoderSt
     return DecoderState(
         ring_k=jnp.zeros((l, batch, h, w, dh), dtype),
         ring_v=jnp.zeros((l, batch, h, w, dh), dtype),
-        ring_pos=jnp.full((w,), -1, jnp.int32),
-        count=jnp.zeros((), jnp.int32),
+        ring_pos=jnp.full((batch, w), -1, jnp.int32),
+        count=jnp.zeros((batch,), jnp.int32),
         conv_hist=tuple(hists),
+    )
+
+
+def reset_lanes(state: DecoderState, lane_mask: jnp.ndarray) -> DecoderState:
+    """Zero the streaming state of lanes where lane_mask[b] (jit-friendly;
+    used by continuous batching when a lane is refilled with a new stream)."""
+    m = lane_mask
+
+    def zero_batch0(a):  # [B, ...] conv histories
+        return jnp.where(m.reshape((-1,) + (1,) * (a.ndim - 1)), 0, a)
+
+    return state.replace(
+        ring_k=jnp.where(m[None, :, None, None, None], 0, state.ring_k),
+        ring_v=jnp.where(m[None, :, None, None, None], 0, state.ring_v),
+        ring_pos=jnp.where(m[:, None], -1, state.ring_pos),
+        count=jnp.where(m, 0, state.count),
+        conv_hist=tuple(zero_batch0(h) for h in state.conv_hist),
     )
 
 
@@ -163,17 +181,17 @@ def _transformer(cfg: CodecDecoderConfig, params, x: jnp.ndarray,
     """Sliding-window causal transformer over N new frames."""
     b, n, d = x.shape
     h, dh, w = cfg.n_heads, cfg.head_dim, cfg.attn_window
-    p0 = state.count
-    q_pos = p0 + jnp.arange(n, dtype=jnp.int32)            # [N]
+    q_pos = state.count[:, None] + jnp.arange(n, dtype=jnp.int32)  # [B, N]
     inv_freq = jnp.asarray(inv_frequencies(dh, cfg.rope_theta))
-    cos_q, sin_q = rope_cos_sin(q_pos[None].repeat(b, 0), inv_freq)
+    cos_q, sin_q = rope_cos_sin(q_pos, inv_freq)
 
-    key_pos = jnp.concatenate([state.ring_pos, q_pos])     # [W+N]
-    # mask [N, W+N]: stored, causal, within window
-    valid = key_pos[None, :] >= 0
-    causal = key_pos[None, :] <= q_pos[:, None]
-    window = key_pos[None, :] > (q_pos[:, None] - w)
+    key_pos = jnp.concatenate([state.ring_pos, q_pos], axis=1)  # [B, W+N]
+    # mask [B, N, W+N]: stored, causal, within window
+    valid = key_pos[:, None, :] >= 0
+    causal = key_pos[:, None, :] <= q_pos[:, :, None]
+    window = key_pos[:, None, :] > (q_pos[:, :, None] - w)
     mask = valid & causal & window
+    slots = (q_pos % w).astype(jnp.int32)                       # [B, N]
 
     def layer_fn(carry, layer):
         xx = carry
@@ -191,7 +209,7 @@ def _transformer(cfg: CodecDecoderConfig, params, x: jnp.ndarray,
         scores = jnp.einsum("bnhd,bhcd->bhnc", q.astype(jnp.float32),
                             keys.astype(jnp.float32),
                             preferred_element_type=jnp.float32) * dh ** -0.5
-        scores = jnp.where(mask[None, None], scores, NEG_INF)
+        scores = jnp.where(mask[:, None], scores, NEG_INF)
         wts = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhnc,bhcd->bnhd", wts, vals.astype(jnp.float32),
                          preferred_element_type=jnp.float32)
@@ -199,18 +217,19 @@ def _transformer(cfg: CodecDecoderConfig, params, x: jnp.ndarray,
         hn = rms_norm(xx, p["ln2"], cfg.rms_eps)
         ff = jax.nn.silu(hn @ p["w_gate"]) * (hn @ p["w_up"])
         xx = xx + ff @ p["w_down"]
-        # write new keys/vals into the ring (N <= W for streaming chunks)
-        slots = (q_pos % w).astype(jnp.int32)
-        rk = rk.at[:, :, slots, :].set(kk_t)
-        rv = rv.at[:, :, slots, :].set(vv_t)
+        # write new keys/vals into the ring (N <= W; per-lane slot indices)
+        rk = jax.vmap(lambda rb, kb, sl: rb.at[:, sl, :].set(kb)
+                      )(rk, kk_t, slots)
+        rv = jax.vmap(lambda rb, vb, sl: rb.at[:, sl, :].set(vb)
+                      )(rv, vv_t, slots)
         return xx, (rk, rv)
 
     x, (new_rk, new_rv) = jax.lax.scan(
         layer_fn, x, (params["layers"], state.ring_k, state.ring_v))
-    slots = (q_pos % w).astype(jnp.int32)
-    new_ring_pos = state.ring_pos.at[slots].set(q_pos)
+    new_ring_pos = jax.vmap(lambda rp, sl, qp: rp.at[sl].set(qp)
+                            )(state.ring_pos, slots, q_pos)
     new_state = state.replace(ring_k=new_rk, ring_v=new_rv,
-                              ring_pos=new_ring_pos, count=p0 + n)
+                              ring_pos=new_ring_pos, count=state.count + n)
     return rms_norm(x, params["final_norm"], cfg.rms_eps), new_state
 
 

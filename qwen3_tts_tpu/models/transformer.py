@@ -31,6 +31,9 @@ class KVCache:
     v: jnp.ndarray          # [L, B, Hkv, C, Dh]
     write_idx: jnp.ndarray  # scalar int32: next free slot
     lengths: jnp.ndarray    # [B] int32: true prompt lengths (for masking)
+    gen_start: jnp.ndarray  # [B] int32: first valid generated slot per lane
+    #                         (continuous batching: set to the refill-time
+    #                         write_idx so stale decode slots stay masked)
 
     @property
     def capacity(self) -> int:
@@ -44,6 +47,7 @@ def init_kv_cache(cfg, batch: int, capacity: int, dtype) -> KVCache:
         v=jnp.zeros(shape, dtype),
         write_idx=jnp.zeros((), jnp.int32),
         lengths=jnp.zeros((batch,), jnp.int32),
+        gen_start=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -96,7 +100,8 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     use_flash = (s == 1 and getattr(cfg, "flash_decode", True)
                  and use_flash_decode())
     mask = (None if use_flash else
-            history_mask(cache.lengths, prompt_cap, start, s, cache.capacity))
+            history_mask(cache.lengths, prompt_cap, start, s, cache.capacity,
+                         gen_start=cache.gen_start))
 
     def layer_fn(carry, layer):
         xx = carry
@@ -115,7 +120,8 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
         if use_flash:
             from ..kernels.flash_decode import flash_gqa_decode
             attn = flash_gqa_decode(q[:, 0], k_cache, v_cache, cache.lengths,
-                                    start, prompt_cap)[:, None]
+                                    start, prompt_cap,
+                                    gen_start=cache.gen_start)[:, None]
             attn = attn.reshape(b, s, h * dh)
         else:
             attn = gqa_attend(q, k_cache, v_cache, mask).reshape(b, s, h * dh)

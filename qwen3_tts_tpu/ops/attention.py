@@ -24,17 +24,22 @@ NEG_INF = -1e9
 
 
 def history_mask(lengths: jnp.ndarray, prompt_cap: int, start, s: int,
-                 capacity: int) -> jnp.ndarray:
+                 capacity: int, gen_start=None) -> jnp.ndarray:
     """Build the [B, S, C] boolean mask described above.
 
     lengths: [B] int32 true prompt lengths; start: scalar absolute slot of the
     first query; s: number of queries (static); capacity: cache size (static).
+    gen_start: optional [B] int32 — first valid *generated* slot per stream
+    (continuous batching: a refilled lane must not see the previous
+    occupant's decode slots).  None/0 keeps all generated slots visible.
     """
     c = jnp.arange(capacity, dtype=jnp.int32)
     q = start + jnp.arange(s, dtype=jnp.int32)
     causal = c[None, :] <= q[:, None]                                    # [S, C]
     in_prompt = c[None, None, :] < lengths[:, None, None]                # [B, 1, C]
     generated = (c >= prompt_cap)[None, None, :]
+    if gen_start is not None:
+        generated = generated & (c[None, None, :] >= gen_start[:, None, None])
     self_slot = (c[None, :] == q[:, None])[None]                         # [1, S, C]
     return causal[None] & (in_prompt | generated | self_slot)
 

@@ -141,6 +141,42 @@ def _frame_emb_sum(codec_tables: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray
     return jnp.sum(gathered.astype(jnp.float32), axis=1)
 
 
+def prefill_lane(cfg: EngineConfig, talker_params, embeds: jnp.ndarray,
+                 length: jnp.ndarray, lane: jnp.ndarray, state: GenState,
+                 ) -> GenState:
+    """Prefill ONE lane of a running batch with a new prompt (continuous
+    batching).  embeds: [S_max, 2048] padded prompt; length: scalar true
+    length; lane: scalar lane index.  Other lanes' cache/positions are
+    untouched; the refilled lane's stale decode slots are masked via
+    cache.gen_start (see models.transformer.KVCache)."""
+    cache = state.cache
+    s_max = embeds.shape[0]
+    k_lane = jax.lax.dynamic_slice_in_dim(cache.k, lane, 1, axis=1)
+    v_lane = jax.lax.dynamic_slice_in_dim(cache.v, lane, 1, axis=1)
+    lane_cache = cache.replace(
+        k=k_lane, v=v_lane, write_idx=jnp.zeros((), jnp.int32),
+        lengths=length[None].astype(jnp.int32),
+        gen_start=jnp.zeros((1,), jnp.int32))
+    logits, hidden, lane_cache = talker_lib.talker_prefill(
+        cfg.talker, talker_params, embeds[None], length[None].astype(jnp.int32),
+        lane_cache)
+
+    lane = jnp.asarray(lane, jnp.int32)
+    new_cache = cache.replace(
+        k=jax.lax.dynamic_update_slice(cache.k, lane_cache.k, (0, lane, 0, 0, 0)),
+        v=jax.lax.dynamic_update_slice(cache.v, lane_cache.v, (0, lane, 0, 0, 0)),
+        lengths=cache.lengths.at[lane].set(length.astype(jnp.int32)),
+        gen_start=cache.gen_start.at[lane].set(cache.write_idx),
+    )
+    return state.replace(
+        cache=new_cache,
+        logits=state.logits.at[lane].set(logits[0]),
+        hidden=state.hidden.at[lane].set(hidden[0]),
+        pos=state.pos.at[lane].set(length.astype(jnp.int32)),
+        done=state.done.at[lane].set(False),
+    )
+
+
 def gen_frames_with_audio(cfg: EngineConfig, talker_params, predictor_params,
                           assets_pack, codec_params, state: GenState,
                           dec_state, sampler: SamplerParams, n_frames: int,
@@ -193,6 +229,18 @@ class Generator:
     def start(self, embeds: jnp.ndarray, lengths, key) -> GenState:
         return self._prefill(self.talker_params, embeds,
                              jnp.asarray(lengths, jnp.int32), key)
+
+    def refill_lane(self, state: GenState, embeds_1: jnp.ndarray, length,
+                    lane) -> GenState:
+        """Prefill lane `lane` with a new [S_max, 2048] prompt."""
+        if not hasattr(self, "_prefill_lane"):
+            self._prefill_lane = jax.jit(
+                functools.partial(prefill_lane, self.cfg),
+                donate_argnames=("state",)
+                if self.cfg.runtime.donate_cache else ())
+        return self._prefill_lane(self.talker_params, embeds_1,
+                                  jnp.asarray(length, jnp.int32),
+                                  jnp.asarray(lane, jnp.int32), state)
 
     def chunk(self, state: GenState, sampler: SamplerParams, prompt_cap: int,
               n_frames: int = None):

@@ -1,0 +1,166 @@
+"""Continuous batching: lanes refill with queued requests at chunk
+boundaries instead of waiting for the whole wave to drain.
+
+Compared to wave scheduling (serve.batch), a finished stream's lane is
+immediately re-prefilled with the next queued prompt (`Generator.refill_lane`)
+while the other lanes keep decoding — throughput stays at full batch
+utilization under mixed-length traffic.  Correctness of lane isolation:
+
+  * the refilled lane's prompt overwrites cache slots [0, bucket) of its own
+    batch row only;
+  * its stale decode slots (>= bucket, written by the previous occupant) are
+    masked via KVCache.gen_start = refill-time write_idx — both the XLA mask
+    (ops.attention.history_mask) and the Pallas flash kernel honor it;
+  * codec streaming state for the lane is zeroed (codec.decoder.reset_lanes).
+
+The decode-slot region grows monotonically (no compaction yet): when
+write_idx approaches capacity the batcher stops refilling, drains active
+lanes, and starts a fresh generation state for the remaining queue.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import protocol as P_
+from ..models.codec import decoder as codec_decoder
+from ..runtime.generate import SamplerParams
+from .batch import BatchRequest, BatchResult
+from ..io.audio import AudioSample
+
+
+class ContinuousBatcher:
+    """Schedules a request queue over `batch_size` lanes with lane refill."""
+
+    def __init__(self, engine, batch_size: int = 8,
+                 max_frames_per_stream: Optional[int] = None):
+        self.engine = engine
+        self.batch_size = int(batch_size)
+        self.max_frames = max_frames_per_stream or engine.max_steps
+
+    def run(self, requests: Sequence[BatchRequest]) -> List[BatchResult]:
+        results: List[Optional[BatchResult]] = [None] * len(requests)
+        queue = list(range(len(requests)))
+        while queue:
+            queue = self._run_generation(requests, results, queue)
+        return [r if r is not None else
+                BatchResult(audio=AudioSample(np.zeros(0, np.float32),
+                                              P_.SAMPLE_RATE, 1),
+                            frames=0, eos=False)
+                for r in results]
+
+    # ------------------------------------------------------------------
+    def _run_generation(self, requests, results, queue: List[int]) -> List[int]:
+        """One generation state: fill lanes, decode with refill until the
+        cache budget is exhausted or the queue + lanes drain.  Returns the
+        remaining queue."""
+        eng = self.engine
+        cfg = eng.config
+        b = self.batch_size
+        spf = cfg.codec_decoder.samples_per_frame
+        n_chunk = cfg.runtime.frames_per_chunk
+
+        plans = {i: eng._build_voice_prompt(requests[i].text, requests[i].voice,
+                                            requests[i].instruct)
+                 for i in queue}
+        bucket = eng._bucket(max(p.length for p in plans.values()))
+
+        # Initial lane assignment.
+        lane_req: List[Optional[int]] = [None] * b
+        first = queue[: b]
+        queue = queue[b:]
+        init_plans = [plans[i] for i in first]
+        while len(init_plans) < b:          # pad idle lanes with plan 0
+            init_plans.append(init_plans[0])
+        embeds, lens = eng.prompt_to_device(init_plans, bucket)
+        for slot, req in enumerate(first):
+            lane_req[slot] = req
+
+        seed = eng.sampler_config.seed
+        if seed is None:
+            seed = time.time_ns() & 0x7FFFFFFFFFFFFFFF
+        state = eng.generator.start(embeds, jnp.asarray(lens),
+                                    jax.random.PRNGKey(seed))
+        # Idle lanes start done so they emit nothing.
+        done_init = np.asarray([lane_req[i] is None for i in range(b)])
+        state = state.replace(done=jnp.asarray(done_init))
+        sampler = SamplerParams.make(eng.sampler_config)
+        dec_state = codec_decoder.init_decoder_state(
+            cfg.codec_decoder, eng.codec_decoder_params, batch=b)
+
+        capacity = state.cache.capacity
+        wavs = {i: [] for i in queue + first}
+        frames = {i: 0 for i in queue + first}
+
+        reset_fn = jax.jit(codec_decoder.reset_lanes)
+        set_done = jax.jit(lambda s, lane: s.replace(
+            done=s.done.at[lane].set(True)))
+        while True:
+            # Capacity guard: stop before decode slots overflow.
+            if int(np.asarray(state.cache.write_idx)) + n_chunk > capacity:
+                break
+            active = [i for i in range(b) if lane_req[i] is not None]
+            if not active:
+                break
+
+            state, dec_state, codes, valid, wav = \
+                eng.generator.chunk_with_audio(
+                    state, dec_state, sampler, prompt_cap=bucket,
+                    n_frames=n_chunk)
+            valid_np = np.asarray(valid)            # [B, n]
+            wav_np = np.asarray(wav)                # [B, n*spf]
+
+            refill_mask = np.zeros(b, bool)
+            for lane in range(b):
+                req = lane_req[lane]
+                if req is None:
+                    continue
+                k = int(valid_np[lane].sum())
+                if k > 0:
+                    wavs[req].append(wav_np[lane, : k * spf])
+                    frames[req] += k
+                hit_eos = k < n_chunk
+                out_of_budget = frames[req] >= self.max_frames
+                if hit_eos or out_of_budget:
+                    samples = (np.concatenate(wavs[req]) if wavs[req]
+                               else np.zeros(0, np.float32))
+                    results[req] = BatchResult(
+                        audio=AudioSample(samples.astype(np.float32),
+                                          P_.SAMPLE_RATE, 1),
+                        frames=frames[req], eos=hit_eos)
+                    lane_req[lane] = None
+                    if not hit_eos:
+                        state = set_done(state, lane)
+                    # Refill from the queue if the cache still has headroom.
+                    if queue and (int(np.asarray(state.cache.write_idx))
+                                  + self.max_frames // 2 < capacity):
+                        nxt = queue.pop(0)
+                        lane_embeds, _ = eng.prompt_to_device(
+                            plans[nxt], bucket)
+                        state = eng.generator.refill_lane(
+                            state, lane_embeds[0],
+                            min(plans[nxt].length, bucket), lane)
+                        lane_req[lane] = nxt
+                        refill_mask[lane] = True
+            if refill_mask.any():
+                dec_state = reset_fn(dec_state, jnp.asarray(refill_mask))
+
+        # Drain: anything still on a lane goes back to the queue? No — its
+        # audio so far is kept and the stream is finalized as truncated.
+        for lane in range(b):
+            req = lane_req[lane]
+            if req is None:
+                continue
+            samples = (np.concatenate(wavs[req]) if wavs[req]
+                       else np.zeros(0, np.float32))
+            results[req] = BatchResult(
+                audio=AudioSample(samples.astype(np.float32),
+                                  P_.SAMPLE_RATE, 1),
+                frames=frames[req], eos=False)
+        return queue

@@ -1,0 +1,79 @@
+"""HTTP serving API tests (stdlib client against an in-process server)."""
+
+import io
+import json
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.serve.api import TtsServer
+
+
+@pytest.fixture(scope="module")
+def server(tiny_engine):
+    tiny_engine.set_max_steps(4)
+    srv = TtsServer(tiny_engine, host="127.0.0.1", port=0).start()
+    yield srv
+    srv.stop()
+
+
+def _url(server, path):
+    return f"http://127.0.0.1:{server.port}{path}"
+
+
+def test_health(server):
+    with urllib.request.urlopen(_url(server, "/health"), timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert "vivian" in body["speakers"]
+
+
+def test_tts_endpoint(server):
+    req = urllib.request.Request(
+        _url(server, "/tts"),
+        data=json.dumps({"text": "server test", "speaker": "vivian",
+                         "seed": 5, "max_steps": 4}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        rtf = r.headers.get("X-QTTS-RTF")
+        data = r.read()
+    with wave.open(io.BytesIO(data)) as w:
+        assert w.getframerate() == 24000
+        assert w.getnchannels() == 1
+    assert rtf is not None
+
+
+def test_tts_stream_endpoint(server):
+    req = urllib.request.Request(
+        _url(server, "/tts?stream=1"),
+        data=json.dumps({"text": "stream", "seed": 2,
+                         "max_steps": 4}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert r.headers["Content-Type"].startswith("audio/L16")
+        pcm = r.read()  # urllib de-chunks transfer-encoding
+    samples = np.frombuffer(pcm, np.int16)
+    spf = 4  # tiny config samples_per_frame
+    assert len(samples) % spf == 0
+
+
+def test_bad_request(server):
+    req = urllib.request.Request(
+        _url(server, "/tts"), data=b"not json",
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_not_found(server):
+    try:
+        urllib.request.urlopen(_url(server, "/nope"), timeout=30)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

@@ -1,0 +1,66 @@
+"""Continuous batching: lane refill isolation and queue completion."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qwen3_tts_tpu.core.config import SamplerConfig
+from qwen3_tts_tpu.serve.batch import BatchRequest
+from qwen3_tts_tpu.serve.continuous import ContinuousBatcher
+
+
+def test_refill_lane_logits_match_fresh_prefill(tiny_engine):
+    """A refilled lane's prefill logits must equal a solo prefill of the
+    same prompt — stale cache contents of the previous occupant must be
+    invisible (gen_start masking)."""
+    eng = tiny_engine
+    from qwen3_tts_tpu.runtime.generate import SamplerParams
+
+    voice = eng.get_speaker("vivian")
+    plan_a = eng._build_voice_prompt("first occupant text", voice, None)
+    plan_b = eng._build_voice_prompt("the replacement", voice, None)
+    bucket = eng._bucket(max(plan_a.length, plan_b.length))
+
+    # Batch of 2: both lanes run prompt A, decode 3 chunks.
+    embeds, lens = eng.prompt_to_device([plan_a, plan_a], bucket)
+    state = eng.generator.start(embeds, jnp.asarray(lens),
+                                jax.random.PRNGKey(0))
+    sampler = SamplerParams.make(SamplerConfig(seed=1))
+    for _ in range(3):
+        state, codes, valid = eng.generator.chunk(
+            state, sampler, prompt_cap=bucket, n_frames=2)
+
+    # Refill lane 1 with prompt B.
+    embeds_b, lens_b = eng.prompt_to_device(plan_b, bucket)
+    state = eng.generator.refill_lane(state, embeds_b[0],
+                                      min(plan_b.length, bucket), 1)
+
+    # Reference: solo prefill of B.
+    solo = eng.generator.start(embeds_b, jnp.asarray(lens_b),
+                               jax.random.PRNGKey(9))
+    np.testing.assert_allclose(np.asarray(state.logits[1]),
+                               np.asarray(solo.logits[0]),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(state.hidden[1]),
+                               np.asarray(solo.hidden[0]),
+                               rtol=2e-4, atol=2e-3)
+    assert not bool(np.asarray(state.done)[1])
+    # lane 0 untouched
+    assert int(np.asarray(state.pos)[0]) == lens[0] + 6
+
+
+def test_continuous_batcher_completes_queue(tiny_engine):
+    eng = tiny_engine
+    eng.set_max_steps(8)
+    eng.set_sampler_config(SamplerConfig(seed=3))
+    voice = eng.get_speaker("vivian")
+    reqs = [BatchRequest(f"request number {i}", voice) for i in range(5)]
+    batcher = ContinuousBatcher(eng, batch_size=2, max_frames_per_stream=4)
+    results = batcher.run(reqs)
+    assert len(results) == 5
+    spf = eng.config.codec_decoder.samples_per_frame
+    for r in results:
+        assert len(r.audio.samples) == r.frames * spf
+        assert np.isfinite(r.audio.samples).all()
+        assert r.frames <= 4
