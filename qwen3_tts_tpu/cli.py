@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--stream", action="store_true",
                    help="stream chunks and report TTFT")
+    p.add_argument("--long", action="store_true",
+                   help="sentence-chunked long-text generation")
     p.add_argument("--metrics", action="store_true",
                    help="print JSON metrics after generation")
     p.add_argument("--skip-download", action="store_true",
@@ -105,6 +107,8 @@ def main(argv=None) -> int:
             samples=(np.concatenate(parts) if parts
                      else np.zeros(0, np.float32)),
             sample_rate=24000, channels=1)
+    elif args.long:
+        audio = engine.generate_long(args.text, voice, args.instruction)
     else:
         audio = engine.generate_with_voice(args.text, voice, args.instruction)
     print(f"Generation took {time.perf_counter() - t_gen:.2f}s "

@@ -247,6 +247,21 @@ class TtsEngine:
         from .io.download import check_and_download
         check_and_download(model_dir, quant)
 
+    def decode_codes(self, codes) -> AudioSample:
+        """Decode raw codec codes ([frames, 16] or flattened) to audio —
+        standalone use of the codec decoder, like driving the reference's
+        `AudioDecoder` directly (onnx.rs:342-458).  Useful for auditioning a
+        VoiceFile's reference codes."""
+        codes = np.asarray(codes, np.int32).reshape(-1)
+        n = len(codes) // P.NUM_CODEBOOKS
+        frames = codes[: n * P.NUM_CODEBOOKS].reshape(1, n, P.NUM_CODEBOOKS)
+        dec_state = codec_decoder.init_decoder_state(
+            self.config.codec_decoder, self.codec_decoder_params, batch=1)
+        wav, _ = self._decode_chunk(self.codec_decoder_params,
+                                    jnp.asarray(frames), dec_state)
+        return AudioSample(samples=np.asarray(wav[0], np.float32),
+                           sample_rate=P.SAMPLE_RATE, channels=1)
+
     # ------------------------------------------------------- voice cloning
     def create_voice_file(self, audio_path, ref_text: str) -> VoiceFile:
         wav = load_reference_wav(audio_path)

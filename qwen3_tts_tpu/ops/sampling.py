@@ -53,6 +53,21 @@ def sample_logits(logits: jnp.ndarray, key: jax.Array, temperature,
     return jnp.where(temperature <= 0.0, greedy, sampled)
 
 
+def sample_with_allowlist(logits: jnp.ndarray, key: jax.Array, limit: int,
+                          allow_tokens, temperature, top_k,
+                          top_p) -> jnp.ndarray:
+    """Sample from [0, limit) plus an explicit allowlist of extra token ids
+    (parity with the reference's `sample_custom`, llama/mod.rs:780-904 —
+    range-restricted sampling that also admits special tokens like EOS)."""
+    v = logits.shape[-1]
+    idx = jnp.arange(v, dtype=jnp.int32)
+    allowed = idx < limit
+    for tok in jnp.atleast_1d(jnp.asarray(allow_tokens, jnp.int32)):
+        allowed = allowed | (idx == tok)
+    masked = jnp.where(allowed, logits, NEG_INF)
+    return sample_logits(masked, key, temperature, top_k, top_p)
+
+
 def greedy_slice_argmax(logits: jnp.ndarray, start, size: int) -> jnp.ndarray:
     """argmax over a dynamic slice [start, start+size) of the last axis;
     returns indices relative to `start`.  Used for the predictor's

@@ -92,8 +92,23 @@ def place(tree, mesh: Mesh, specs) -> Any:
 
 def place_params(params, mesh: Mesh, specs: Dict[str, Any]):
     """Place a parameter dict given a nested spec dict (missing keys get
-    replicated)."""
+    replicated).  Quantized weights ({"q": int8 [..., in, out], "s": f32
+    [..., out]}, see ops.quant) inherit the weight's spec; the scale drops
+    the contraction axis of the spec."""
+    from ..ops.quant import is_quantized
+
+    def scale_spec(spec: P) -> P:
+        if len(spec) < 2:
+            return P()
+        return P(*(list(spec[:-2]) + [spec[-1]]))
+
     def walk(p, s):
+        if is_quantized(p):
+            spec = s if isinstance(s, P) else P()
+            return {
+                "q": jax.device_put(p["q"], NamedSharding(mesh, spec)),
+                "s": jax.device_put(p["s"], NamedSharding(mesh, scale_spec(spec))),
+            }
         if isinstance(p, dict):
             return {k: walk(v, s.get(k, P()) if isinstance(s, dict) else s)
                     for k, v in p.items()}

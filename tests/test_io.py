@@ -66,3 +66,21 @@ def test_cache_roundtrip(tmp_path):
     np.testing.assert_allclose(e, emb)
     # header magic
     assert path.read_bytes()[:4] == b"TTSC"
+
+
+def test_stereo_wav_mono_fold(tmp_path):
+    import wave
+    left = np.linspace(-0.5, 0.5, 200).astype(np.float32)
+    right = np.zeros(200, np.float32)
+    inter = np.empty(400, np.float32)
+    inter[0::2], inter[1::2] = left, right
+    path = tmp_path / "st.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(24000)
+        w.writeframes(np.clip(np.rint(inter * 32767), -32768, 32767)
+                      .astype(np.int16).tobytes())
+    mono = load_reference_wav(path)
+    assert mono.shape == (200,)
+    np.testing.assert_allclose(mono, left, atol=1e-3)

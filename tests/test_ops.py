@@ -120,3 +120,20 @@ def test_history_mask_semantics():
     assert m[1, 0, :5].all() and not m[1, 0, 5] and m[1, 0, 6]
     # future slots invalid
     assert not m[:, 0, 7:].any()
+
+
+def test_sample_with_allowlist():
+    # limit=3 plus allowlist {7}: only {0,1,2,7} can ever be drawn
+    logits = jnp.asarray([[0., 1., 2., 9., 9., 9., 9., 3.]])
+    seen = set()
+    for i in range(30):
+        tok = sampling.sample_with_allowlist(
+            logits, jax.random.PRNGKey(i), limit=3, allow_tokens=[7],
+            temperature=1.0, top_k=0, top_p=1.0)
+        seen.add(int(tok[0]))
+    assert seen <= {0, 1, 2, 7}
+    assert 7 in seen  # the high-logit allowed token dominates
+    # greedy picks the allowlisted argmax over the big-but-forbidden ones
+    g = sampling.sample_with_allowlist(
+        logits, jax.random.PRNGKey(0), 3, [7], 0.0, 0, 1.0)
+    assert int(g[0]) == 7

@@ -94,3 +94,32 @@ def test_tp_placement_and_forward(tiny_engine):
     )(params_tp, embeds, lengths, cache2)
     np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
                                atol=2e-3)
+
+
+def test_tp_placement_quantized(tiny_engine):
+    """Tensor-parallel placement works for int8-quantized params (scales
+    drop the contraction axis of the weight spec)."""
+    from qwen3_tts_tpu.models import talker as talker_lib
+    from qwen3_tts_tpu.ops import quant as quant_ops
+
+    eng = tiny_engine
+    cfg = eng.config.talker
+    qparams = {
+        "layers": quant_ops.quantize_decoder_layers(eng.talker_params["layers"]),
+        "final_norm": eng.talker_params["final_norm"],
+        "codec_head": quant_ops.quantize_head(eng.talker_params["codec_head"]),
+    }
+    mesh = mesh_lib.make_mesh(1, 2)
+    params_tp = mesh_lib.place_params(qparams, mesh,
+                                      mesh_lib.talker_param_specs())
+    b, s = 1, 6
+    embeds = jax.random.normal(jax.random.PRNGKey(0), (b, s, cfg.d_model)) * 0.1
+    cache = talker_lib.init_talker_cache(cfg, b, s + 2)
+    ref_logits, _, _ = talker_lib.talker_prefill(
+        cfg, qparams, embeds, jnp.asarray([s]), cache)
+    cache2 = talker_lib.init_talker_cache(cfg, b, s + 2)
+    tp_logits, _, _ = jax.jit(
+        lambda p, e, l, c: talker_lib.talker_prefill(cfg, p, e, l, c)
+    )(params_tp, embeds, jnp.asarray([s]), cache2)
+    np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
+                               atol=2e-3)
