@@ -247,6 +247,29 @@ class TtsEngine:
         from .io.download import check_and_download
         check_and_download(model_dir, quant)
 
+    def warmup(self, buckets=(32, 64, 128), batch_sizes=(1,),
+               frames: int = None) -> None:
+        """Pre-compile the serving programs for the given prompt buckets and
+        batch sizes (prefill + fused chunk + prompt assembly).  Run once at
+        deployment so no user request pays a compile; with the persistent
+        XLA cache this also seeds future processes."""
+        frames = frames or self.config.runtime.frames_per_chunk
+        sampler = SamplerParams.make(self.sampler_config)
+        for b in batch_sizes:
+            for bucket in buckets:
+                embeds = jnp.zeros((b, bucket, P.TALKER_DIM), jnp.float32)
+                lengths = jnp.full((b,), bucket, jnp.int32)
+                state = self.generator.start(embeds, lengths,
+                                             jax.random.PRNGKey(0))
+                dec_state = codec_decoder.init_decoder_state(
+                    self.config.codec_decoder, self.codec_decoder_params,
+                    batch=b)
+                out = self.generator.chunk_with_audio(
+                    state, dec_state, sampler, prompt_cap=bucket,
+                    n_frames=frames)
+                from .utils.sync import hard_sync
+                hard_sync(out[-1])
+
     def decode_codes(self, codes) -> AudioSample:
         """Decode raw codec codes ([frames, 16] or flattened) to audio —
         standalone use of the codec decoder, like driving the reference's

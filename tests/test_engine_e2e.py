@@ -132,3 +132,7 @@ def test_generate_long(tiny_engine):
     audio = eng.generate_long("One. Two. Three.", voice)
     assert audio.sample_rate == 24000
     assert np.isfinite(audio.samples).all()
+
+
+def test_warmup(tiny_engine):
+    tiny_engine.warmup(buckets=(32,), batch_sizes=(1,))  # compiles; no error
