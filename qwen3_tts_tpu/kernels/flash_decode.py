@@ -31,7 +31,7 @@ NEG_INF = -1e30
 CHUNK = 512  # cache slots per DMA
 
 
-def _kernel(lengths_ref, start_ref, gen_start_ref, q_ref, k_hbm, v_hbm,
+def _kernel(lengths_ref, start_ref, q_ref, k_hbm, v_hbm,
             o_ref, k_scratch, v_scratch, sem_k, sem_v, *, prompt_cap: int,
             capacity: int, scale: float):
     b = pl.program_id(0)
@@ -39,8 +39,7 @@ def _kernel(lengths_ref, start_ref, gen_start_ref, q_ref, k_hbm, v_hbm,
     g, dh = q_ref.shape[2], q_ref.shape[3]
 
     length = lengths_ref[b]
-    start = start_ref[0]
-    gen_start = gen_start_ref[b]
+    start = start_ref[b]  # per-lane cursor (continuous batching)
     valid_end = start + 1                      # slots [0, start] are visible
     n_chunks = pl.cdiv(valid_end, CHUNK)
 
@@ -74,9 +73,7 @@ def _kernel(lengths_ref, start_ref, gen_start_ref, q_ref, k_hbm, v_hbm,
 
         c_idx = ci * CHUNK + jax.lax.broadcasted_iota(
             jnp.int32, (1, CHUNK), 1)                 # [1, CHUNK]
-        valid = (c_idx < length) | ((c_idx >= prompt_cap)
-                                    & (c_idx >= gen_start)
-                                    & (c_idx <= start))
+        valid = (c_idx < length) | ((c_idx >= prompt_cap) & (c_idx <= start))
         valid = valid & (c_idx < capacity)
 
         s = jax.lax.dot_general(
@@ -116,18 +113,15 @@ def use_flash_decode() -> bool:
 def flash_gqa_decode(q: jnp.ndarray, k_cache: jnp.ndarray,
                      v_cache: jnp.ndarray, lengths: jnp.ndarray,
                      write_idx: jnp.ndarray, prompt_cap: int,
-                     gen_start: jnp.ndarray = None,
                      interpret: bool = False) -> jnp.ndarray:
     """Single-token GQA decode attention.
 
     q: [B, H, Dh]; k_cache/v_cache: [B, Hkv, C, Dh]; lengths: [B] prompt
-    lengths; write_idx: scalar — the slot of the current token (already
-    written to the cache); gen_start: optional [B] first valid generated
-    slot (continuous batching).  Returns [B, H, Dh].
+    lengths; write_idx: [B] (or scalar) — per-lane slot of the current
+    token (already written to the cache).  Returns [B, H, Dh].
     """
     b, hq, dh = q.shape
-    if gen_start is None:
-        gen_start = jnp.zeros((b,), jnp.int32)
+    write_idx = jnp.broadcast_to(jnp.asarray(write_idx, jnp.int32), (b,))
     hkv, cap = k_cache.shape[1], k_cache.shape[2]
     g = hq // hkv
     q4 = q.reshape(b, hkv, g, dh)
@@ -143,7 +137,7 @@ def flash_gqa_decode(q: jnp.ndarray, k_cache: jnp.ndarray,
         functools.partial(_kernel, prompt_cap=prompt_cap, capacity=cap,
                           scale=dh ** -0.5),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, g, dh), lambda i, j, *_: (i, j, 0, 0),
@@ -162,8 +156,6 @@ def flash_gqa_decode(q: jnp.ndarray, k_cache: jnp.ndarray,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, dh), q.dtype),
         interpret=interpret,
-    )(lengths.astype(jnp.int32),
-      jnp.asarray(write_idx, jnp.int32).reshape(1),
-      gen_start.astype(jnp.int32),
+    )(lengths.astype(jnp.int32), write_idx,
       q4, k_cache, v_cache)
     return out.reshape(b, hq, dh)

@@ -27,13 +27,16 @@ from ..ops.quant import matmul as _mm
 
 @struct.dataclass
 class KVCache:
+    """Per-lane write cursors make the cache refill-friendly: a lane handed a
+    new stream (continuous batching) restarts its cursor at prompt_cap and
+    overwrites its own old decode slots — stale history is masked by the
+    causal `slot <= cursor` predicate, and capacity never grows with the
+    number of refills (one stream's budget bounds it statically)."""
+
     k: jnp.ndarray          # [L, B, Hkv, C, Dh]
     v: jnp.ndarray          # [L, B, Hkv, C, Dh]
-    write_idx: jnp.ndarray  # scalar int32: next free slot
+    write_idx: jnp.ndarray  # [B] int32: next free slot per lane
     lengths: jnp.ndarray    # [B] int32: true prompt lengths (for masking)
-    gen_start: jnp.ndarray  # [B] int32: first valid generated slot per lane
-    #                         (continuous batching: set to the refill-time
-    #                         write_idx so stale decode slots stay masked)
 
     @property
     def capacity(self) -> int:
@@ -45,9 +48,8 @@ def init_kv_cache(cfg, batch: int, capacity: int, dtype) -> KVCache:
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
-        write_idx=jnp.zeros((), jnp.int32),
+        write_idx=jnp.zeros((batch,), jnp.int32),
         lengths=jnp.zeros((batch,), jnp.int32),
-        gen_start=jnp.zeros((batch,), jnp.int32),
     )
 
 
@@ -100,8 +102,7 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     use_flash = (s == 1 and getattr(cfg, "flash_decode", True)
                  and use_flash_decode())
     mask = (None if use_flash else
-            history_mask(cache.lengths, prompt_cap, start, s, cache.capacity,
-                         gen_start=cache.gen_start))
+            history_mask(cache.lengths, prompt_cap, start, s, cache.capacity))
 
     def layer_fn(carry, layer):
         xx = carry
@@ -120,8 +121,7 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
         if use_flash:
             from ..kernels.flash_decode import flash_gqa_decode
             attn = flash_gqa_decode(q[:, 0], k_cache, v_cache, cache.lengths,
-                                    start, prompt_cap,
-                                    gen_start=cache.gen_start)[:, None]
+                                    start, prompt_cap)[:, None]
             attn = attn.reshape(b, s, h * dh)
         else:
             attn = gqa_attend(q, k_cache, v_cache, mask).reshape(b, s, h * dh)

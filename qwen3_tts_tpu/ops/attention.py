@@ -24,24 +24,24 @@ NEG_INF = -1e9
 
 
 def history_mask(lengths: jnp.ndarray, prompt_cap: int, start, s: int,
-                 capacity: int, gen_start=None) -> jnp.ndarray:
+                 capacity: int) -> jnp.ndarray:
     """Build the [B, S, C] boolean mask described above.
 
-    lengths: [B] int32 true prompt lengths; start: scalar absolute slot of the
-    first query; s: number of queries (static); capacity: cache size (static).
-    gen_start: optional [B] int32 — first valid *generated* slot per stream
-    (continuous batching: a refilled lane must not see the previous
-    occupant's decode slots).  None/0 keeps all generated slots visible.
+    lengths: [B] int32 true prompt lengths; start: per-lane [B] (or scalar)
+    absolute slot of the first query; s: number of queries (static);
+    capacity: cache size (static).  The per-lane causal bound `c <= q[b]`
+    is what isolates refilled lanes: their cursor restarts at prompt_cap,
+    so a previous occupant's (higher-slot) decode history is invisible.
     """
     c = jnp.arange(capacity, dtype=jnp.int32)
-    q = start + jnp.arange(s, dtype=jnp.int32)
-    causal = c[None, :] <= q[:, None]                                    # [S, C]
+    start = jnp.broadcast_to(jnp.asarray(start, jnp.int32),
+                             lengths.shape)                              # [B]
+    q = start[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]         # [B, S]
+    causal = c[None, None, :] <= q[:, :, None]                           # [B, S, C]
     in_prompt = c[None, None, :] < lengths[:, None, None]                # [B, 1, C]
     generated = (c >= prompt_cap)[None, None, :]
-    if gen_start is not None:
-        generated = generated & (c[None, None, :] >= gen_start[:, None, None])
-    self_slot = (c[None, :] == q[:, None])[None]                         # [1, S, C]
-    return causal[None] & (in_prompt | generated | self_slot)
+    self_slot = c[None, None, :] == q[:, :, None]
+    return causal & (in_prompt | generated | self_slot)
 
 
 def gqa_attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
@@ -71,7 +71,12 @@ def gqa_attend(q: jnp.ndarray, k_cache: jnp.ndarray, v_cache: jnp.ndarray,
 
 
 def update_cache(cache: jnp.ndarray, new: jnp.ndarray, start) -> jnp.ndarray:
-    """Write `new` [B, S, Hkv, Dh] into cache [B, Hkv, C, Dh] at slot `start`."""
-    new = jnp.swapaxes(new, 1, 2)  # [B, Hkv, S, Dh]
-    return jax.lax.dynamic_update_slice(
-        cache, new.astype(cache.dtype), (0, 0, start, 0))
+    """Write `new` [B, S, Hkv, Dh] into cache [B, Hkv, C, Dh] at per-lane
+    slot `start` ([B] or scalar)."""
+    new = jnp.swapaxes(new, 1, 2).astype(cache.dtype)  # [B, Hkv, S, Dh]
+    start = jnp.asarray(start, jnp.int32)
+    if start.ndim == 0:
+        return jax.lax.dynamic_update_slice(cache, new, (0, 0, start, 0))
+    return jax.vmap(
+        lambda c, n, st: jax.lax.dynamic_update_slice(c, n, (0, st, 0))
+    )(cache, new, start)

@@ -146,17 +146,17 @@ def prefill_lane(cfg: EngineConfig, talker_params, embeds: jnp.ndarray,
                  ) -> GenState:
     """Prefill ONE lane of a running batch with a new prompt (continuous
     batching).  embeds: [S_max, 2048] padded prompt; length: scalar true
-    length; lane: scalar lane index.  Other lanes' cache/positions are
-    untouched; the refilled lane's stale decode slots are masked via
-    cache.gen_start (see models.transformer.KVCache)."""
+    length; lane: scalar lane index.  Other lanes' cache/cursors are
+    untouched; the refilled lane's write cursor restarts at prompt_cap, so
+    its previous occupant's decode slots become unreachable (slot > cursor)
+    and are progressively overwritten."""
     cache = state.cache
     s_max = embeds.shape[0]
     k_lane = jax.lax.dynamic_slice_in_dim(cache.k, lane, 1, axis=1)
     v_lane = jax.lax.dynamic_slice_in_dim(cache.v, lane, 1, axis=1)
     lane_cache = cache.replace(
-        k=k_lane, v=v_lane, write_idx=jnp.zeros((), jnp.int32),
-        lengths=length[None].astype(jnp.int32),
-        gen_start=jnp.zeros((1,), jnp.int32))
+        k=k_lane, v=v_lane, write_idx=jnp.zeros((1,), jnp.int32),
+        lengths=length[None].astype(jnp.int32))
     logits, hidden, lane_cache = talker_lib.talker_prefill(
         cfg.talker, talker_params, embeds[None], length[None].astype(jnp.int32),
         lane_cache)
@@ -166,7 +166,7 @@ def prefill_lane(cfg: EngineConfig, talker_params, embeds: jnp.ndarray,
         k=jax.lax.dynamic_update_slice(cache.k, lane_cache.k, (0, lane, 0, 0, 0)),
         v=jax.lax.dynamic_update_slice(cache.v, lane_cache.v, (0, lane, 0, 0, 0)),
         lengths=cache.lengths.at[lane].set(length.astype(jnp.int32)),
-        gen_start=cache.gen_start.at[lane].set(cache.write_idx),
+        write_idx=cache.write_idx.at[lane].set(jnp.int32(s_max)),
     )
     return state.replace(
         cache=new_cache,

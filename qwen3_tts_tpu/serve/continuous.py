@@ -8,14 +8,16 @@ utilization under mixed-length traffic.  Correctness of lane isolation:
 
   * the refilled lane's prompt overwrites cache slots [0, bucket) of its own
     batch row only;
-  * its stale decode slots (>= bucket, written by the previous occupant) are
-    masked via KVCache.gen_start = refill-time write_idx — both the XLA mask
-    (ops.attention.history_mask) and the Pallas flash kernel honor it;
+  * its stale decode slots are unreachable (slot > the restarted per-lane
+    cursor) in both the XLA mask and the Pallas flash kernel, and get
+    overwritten as the new stream decodes;
   * codec streaming state for the lane is zeroed (codec.decoder.reset_lanes).
 
-The decode-slot region grows monotonically (no compaction yet): when
-write_idx approaches capacity the batcher stops refilling, drains active
-lanes, and starts a fresh generation state for the remaining queue.
+Per-lane write cursors (models.transformer.KVCache) make refills free: a
+refilled lane restarts its cursor at the prompt boundary and overwrites its
+own previous decode slots, so the cache capacity bounds ONE stream's budget,
+not the whole session — the batcher runs any queue length in one generation
+state.
 """
 
 from __future__ import annotations
@@ -94,7 +96,6 @@ class ContinuousBatcher:
         dec_state = codec_decoder.init_decoder_state(
             cfg.codec_decoder, eng.codec_decoder_params, batch=b)
 
-        capacity = state.cache.capacity
         wavs = {i: [] for i in queue + first}
         frames = {i: 0 for i in queue + first}
 
@@ -102,9 +103,6 @@ class ContinuousBatcher:
         set_done = jax.jit(lambda s, lane: s.replace(
             done=s.done.at[lane].set(True)))
         while True:
-            # Capacity guard: stop before decode slots overflow.
-            if int(np.asarray(state.cache.write_idx)) + n_chunk > capacity:
-                break
             active = [i for i in range(b) if lane_req[i] is not None]
             if not active:
                 break
@@ -137,9 +135,8 @@ class ContinuousBatcher:
                     lane_req[lane] = None
                     if not hit_eos:
                         state = set_done(state, lane)
-                    # Refill from the queue if the cache still has headroom.
-                    if queue and (int(np.asarray(state.cache.write_idx))
-                                  + self.max_frames // 2 < capacity):
+                    # Refill from the queue.
+                    if queue:
                         nxt = queue.pop(0)
                         lane_embeds, _ = eng.prompt_to_device(
                             plans[nxt], bucket)
@@ -151,8 +148,8 @@ class ContinuousBatcher:
             if refill_mask.any():
                 dec_state = reset_fn(dec_state, jnp.asarray(refill_mask))
 
-        # Drain: anything still on a lane goes back to the queue? No — its
-        # audio so far is kept and the stream is finalized as truncated.
+        # Finalize any lane that ran out of loop (should not happen: lanes
+        # end by EOS or budget above); keep collected audio.
         for lane in range(b):
             req = lane_req[lane]
             if req is None:

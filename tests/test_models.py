@@ -29,7 +29,7 @@ def test_talker_prefill_shapes(talker):
         cfg, params, embeds, lengths, cache)
     assert logits.shape == (b, cfg.n_codec_logits)
     assert hidden.shape == (b, cfg.d_model)
-    assert int(cache.write_idx) == s
+    assert np.array_equal(np.asarray(cache.write_idx), [s, s])
     assert np.isfinite(np.asarray(logits)).all()
 
 
