@@ -45,7 +45,7 @@ from .models.codec import encoder as codec_encoder
 from .models.codec import speaker as speaker_lib
 from .models import predictor as predictor_lib
 from .models import talker as talker_lib
-from .prompt import PromptBuilder, PromptData, PromptPlan, assemble
+from .prompt import PromptBuilder, PromptPlan, assemble
 from .runtime.generate import Generator, SamplerParams
 from .utils.metrics import GenerationMetrics, Stopwatch
 from .utils.tokenizer import Tokenizer

@@ -10,8 +10,7 @@ no external audio dependency.
 from __future__ import annotations
 
 import wave
-from dataclasses import dataclass, field
-from pathlib import Path
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -8,7 +8,6 @@ written by the reference implementation load here and vice versa.
 from __future__ import annotations
 
 import struct
-from pathlib import Path
 from typing import Tuple
 
 import numpy as np

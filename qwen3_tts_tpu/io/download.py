@@ -10,7 +10,7 @@ clear error tells the user what to place where.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Tuple
+from typing import List
 
 DEFAULT_REPO = "cgisky/qwen3-tts-custom-gguf"
 

@@ -11,8 +11,7 @@ the full pipeline runnable (development / benchmarking mode).
 from __future__ import annotations
 
 import dataclasses
-from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

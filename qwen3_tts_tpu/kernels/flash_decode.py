@@ -20,7 +20,6 @@ prompt_cap..write_idx, all <= write_idx).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

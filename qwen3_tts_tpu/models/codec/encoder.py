@@ -10,7 +10,7 @@ is offline (voice cloning), so no streaming state is carried.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Everything stays on device: no hidden-state host bounce, and the per-frame
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,6 @@ from ..core.config import PredictorConfig
 from ..ops.rope import inv_frequencies, rope_cos_sin
 from ..ops.sampling import greedy_slice_argmax
 from . import transformer
-from .transformer import KVCache
 
 
 def init_predictor_params(cfg: PredictorConfig, key: jax.Array) -> Dict[str, Any]:

@@ -12,7 +12,6 @@ which `rope_cos_sin` provides directly for the predictor.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ N-chip unchanged.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import numpy as np

@@ -20,14 +20,13 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core import protocol as P_
-from ..core.config import SamplerConfig
 from ..io.audio import AudioSample
 from ..io.voice_file import VoiceFile
 from ..models.codec import decoder as codec_decoder

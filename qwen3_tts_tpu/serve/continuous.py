@@ -23,7 +23,6 @@ state.
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
 from typing import List, Optional, Sequence
 
 import jax

@@ -8,7 +8,7 @@ Parity: /root/reference/src/utils/tokenizer.rs (loads
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional
+from typing import List
 
 
 class Tokenizer:
