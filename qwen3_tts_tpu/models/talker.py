@@ -73,6 +73,7 @@ def talker_prefill(cfg: TalkerConfig, params, embeds: jnp.ndarray,
 
 def talker_decode_step(cfg: TalkerConfig, params, embed: jnp.ndarray,
                        pos: jnp.ndarray, cache: KVCache, prompt_cap: int,
+                       uniform_cursor: bool = True,
                        ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
     """One autoregressive step on the feedback embedding.
 
@@ -84,7 +85,8 @@ def talker_decode_step(cfg: TalkerConfig, params, embed: jnp.ndarray,
     cos, sin = _rope_tables(cfg, pos4)
     hidden_all, cache = transformer.decoder_forward(
         cfg, params, embed[:, None, :].astype(jnp.dtype(cfg.dtype)),
-        cos, sin, cache, prompt_cap=prompt_cap)
+        cos, sin, cache, prompt_cap=prompt_cap,
+        uniform_cursor=uniform_cursor)
     hidden = hidden_all[:, 0]
     return _codec_logits(params, hidden), hidden, cache
 

@@ -86,16 +86,21 @@ def init_decoder_params(cfg, key: jax.Array) -> Dict[str, Any]:
 
 def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
                     cos: jnp.ndarray, sin: jnp.ndarray, cache: KVCache,
-                    prompt_cap: int) -> Tuple[jnp.ndarray, KVCache]:
+                    prompt_cap: int,
+                    uniform_cursor: bool = True) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder over S new tokens.
 
     x: [B, S, D] input embeddings; cos/sin: [B, S, Dh] rotary tables for the
     new positions; cache: KVCache whose write_idx marks where these tokens go.
+    uniform_cursor (static): all lanes share one cursor value — the common
+    case (single stream / wave batching); enables a cheap slice update
+    instead of a per-lane scatter.  Continuous batching passes False.
     Returns (hidden [B, S, D] after final norm, updated cache).
     """
     b, s, d = x.shape
     h, hkv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     start = cache.write_idx
+    write_at = cache.write_idx[0] if uniform_cursor else cache.write_idx
     # Pallas flash-decode for single-token steps on TPU: reads only the live
     # prefix of the cache from HBM (see kernels/flash_decode.py).
     from ..kernels.flash_decode import use_flash_decode
@@ -116,8 +121,8 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
             kk = rms_norm(kk, p["k_norm"], cfg.rms_eps)
         q = _rope(q, cos, sin)
         kk = _rope(kk, cos, sin)
-        k_cache = update_cache(k_cache, kk, start)
-        v_cache = update_cache(v_cache, vv, start)
+        k_cache = update_cache(k_cache, kk, write_at)
+        v_cache = update_cache(v_cache, vv, write_at)
         if use_flash:
             from ..kernels.flash_decode import flash_gqa_decode
             attn = flash_gqa_decode(q[:, 0], k_cache, v_cache, cache.lengths,

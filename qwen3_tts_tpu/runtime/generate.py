@@ -89,6 +89,7 @@ def prefill(cfg: EngineConfig, talker_params, embeds: jnp.ndarray,
 def gen_frames(cfg: EngineConfig, talker_params, predictor_params,
                assets_pack: Dict[str, Any], state: GenState,
                sampler: SamplerParams, n_frames: int, prompt_cap: int,
+               uniform_cursor: bool = True,
                ) -> Tuple[GenState, jnp.ndarray, jnp.ndarray]:
     """Generate `n_frames` frames (static count).
 
@@ -117,7 +118,7 @@ def gen_frames(cfg: EngineConfig, talker_params, predictor_params,
 
         logits, hidden, cache = talker_lib.talker_decode_step(
             cfg.talker, talker_params, feedback, state.pos, state.cache,
-            prompt_cap=prompt_cap)
+            prompt_cap=prompt_cap, uniform_cursor=uniform_cursor)
 
         new_state = GenState(
             cache=cache, logits=logits, hidden=hidden, pos=state.pos + 1,
@@ -180,7 +181,7 @@ def prefill_lane(cfg: EngineConfig, talker_params, embeds: jnp.ndarray,
 def gen_frames_with_audio(cfg: EngineConfig, talker_params, predictor_params,
                           assets_pack, codec_params, state: GenState,
                           dec_state, sampler: SamplerParams, n_frames: int,
-                          prompt_cap: int):
+                          prompt_cap: int, uniform_cursor: bool = True):
     """Fused LM chunk + codec decode: ONE device program per audio chunk.
 
     The reference needs a separate decoder thread to overlap codec decode
@@ -192,7 +193,7 @@ def gen_frames_with_audio(cfg: EngineConfig, talker_params, predictor_params,
     from ..models.codec import decoder as codec_decoder
     state, codes, valid = gen_frames(cfg, talker_params, predictor_params,
                                      assets_pack, state, sampler, n_frames,
-                                     prompt_cap)
+                                     prompt_cap, uniform_cursor)
     wav, dec_state = codec_decoder.decode_chunk(cfg.codec_decoder,
                                                 codec_params, codes,
                                                 dec_state)
@@ -216,12 +217,12 @@ class Generator:
         donate = ("state",) if cfg.runtime.donate_cache else ()
         self._gen_chunk = jax.jit(
             functools.partial(gen_frames, cfg),
-            static_argnames=("n_frames", "prompt_cap"),
+            static_argnames=("n_frames", "prompt_cap", "uniform_cursor"),
             donate_argnames=donate,
         )
         self._gen_chunk_audio = jax.jit(
             functools.partial(gen_frames_with_audio, cfg),
-            static_argnames=("n_frames", "prompt_cap"),
+            static_argnames=("n_frames", "prompt_cap", "uniform_cursor"),
             donate_argnames=(donate + ("dec_state",)
                              if cfg.runtime.donate_cache else ()),
         )
@@ -243,19 +244,21 @@ class Generator:
                                   jnp.asarray(lane, jnp.int32), state)
 
     def chunk(self, state: GenState, sampler: SamplerParams, prompt_cap: int,
-              n_frames: int = None):
+              n_frames: int = None, uniform_cursor: bool = True):
         n = n_frames or self.cfg.runtime.frames_per_chunk
         return self._gen_chunk(self.talker_params, self.predictor_params,
                                self.assets_pack, state, sampler,
-                               n_frames=n, prompt_cap=prompt_cap)
+                               n_frames=n, prompt_cap=prompt_cap,
+                               uniform_cursor=uniform_cursor)
 
     def chunk_with_audio(self, state: GenState, dec_state,
                          sampler: SamplerParams, prompt_cap: int,
-                         n_frames: int = None):
+                         n_frames: int = None, uniform_cursor: bool = True):
         if self.codec_params is None:
             raise ValueError("Generator built without codec_params")
         n = n_frames or self.cfg.runtime.frames_per_chunk
         return self._gen_chunk_audio(
             self.talker_params, self.predictor_params, self.assets_pack,
             self.codec_params, state, dec_state, sampler,
-            n_frames=n, prompt_cap=prompt_cap)
+            n_frames=n, prompt_cap=prompt_cap,
+            uniform_cursor=uniform_cursor)

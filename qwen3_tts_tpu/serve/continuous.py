@@ -109,7 +109,7 @@ class ContinuousBatcher:
             state, dec_state, codes, valid, wav = \
                 eng.generator.chunk_with_audio(
                     state, dec_state, sampler, prompt_cap=bucket,
-                    n_frames=n_chunk)
+                    n_frames=n_chunk, uniform_cursor=False)
             valid_np = np.asarray(valid)            # [B, n]
             wav_np = np.asarray(wav)                # [B, n*spf]
 
