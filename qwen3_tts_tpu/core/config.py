@@ -197,6 +197,9 @@ class RuntimeConfig:
 
     max_steps: int = 512                 # frames; ~42 s of audio at 12 fps
     frames_per_chunk: int = P.FRAMES_PER_CHUNK
+    # Streaming emits a smaller first chunk to cut TTFT (~83 ms of audio per
+    # frame); 0 disables the fast first chunk.
+    first_chunk_frames: int = 2
     max_prompt_len: int = 1024           # static prefill capacity (padded)
     batch_size: int = 1                  # concurrent streams per device group
     mesh_shape: Tuple[int, ...] = (1,)   # (data,) or (data, model)

@@ -438,6 +438,7 @@ class TtsEngine:
 
         frames_emitted = 0
         steps = 0
+        first_n = cfg.runtime.first_chunk_frames
         pending = None  # (wav, valid, n) one chunk in flight
         while True:
             # Dispatch the next chunk before syncing the previous one: JAX
@@ -445,6 +446,8 @@ class TtsEngine:
             # converts/emits chunk k (1-chunk lookahead pipeline).
             if steps < self.max_steps:
                 n = min(n_chunk, self.max_steps - steps)
+                if steps == 0 and 0 < first_n < n:
+                    n = first_n  # small first chunk: earlier first audio
                 state, dec_state, codes, valid, wav = \
                     self.generator.chunk_with_audio(
                         state, dec_state, sampler, prompt_cap=bucket,

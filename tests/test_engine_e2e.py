@@ -136,3 +136,15 @@ def test_generate_long(tiny_engine):
 
 def test_warmup(tiny_engine):
     tiny_engine.warmup(buckets=(32,), batch_sizes=(1,))  # compiles; no error
+
+
+def test_prompt_longer_than_bucket_truncates(tiny_engine):
+    """Prompts beyond max_prompt_len are truncated, not crashed."""
+    eng = tiny_engine
+    eng.set_max_steps(2)
+    from qwen3_tts_tpu.core.config import SamplerConfig as SC
+    eng.set_sampler_config(SC(seed=1))
+    voice = eng.get_speaker("vivian")
+    long_text = "x" * (eng.config.runtime.max_prompt_len * 2)
+    audio = eng.generate_with_voice(long_text, voice)
+    assert np.isfinite(audio.samples).all()
