@@ -87,10 +87,15 @@ def main() -> None:
         dec_state = codec_decoder.init_decoder_state(
             cfg.codec_decoder, dec_params, batch=1)
         ttft = None
-        for i in range(FRAMES // CHUNK):
+        # Same schedule as the engine's streaming loop: a 2-frame first
+        # chunk for TTFT, then 4-frame chunks.
+        left = FRAMES - 2
+        sizes = [2] + [CHUNK] * (left // CHUNK) + (
+            [left % CHUNK] if left % CHUNK else [])
+        for i, n in enumerate(sizes):
             state, dec_state, codes, valid, wav = generator.chunk_with_audio(
                 state, dec_state, sampler, prompt_cap=PROMPT_CAP,
-                n_frames=CHUNK)
+                n_frames=n)
             if i == 0:
                 hard_sync(wav)
                 ttft = time.perf_counter() - t0

@@ -90,7 +90,6 @@ class TtsEngine:
             seed=self.config.sampler.seed)
         self.speakers: Dict[str, VoiceFile] = {}
         self.last_metrics: Optional[GenerationMetrics] = None
-        self._rng_fallback = np.random.SeedSequence(init_seed)
 
         quant_dir = QUANT_DIRS.get(quant, "gguf")
         weights_dir = self.model_dir / quant_dir
