@@ -1,0 +1,60 @@
+"""Continuous vs wave batching under mixed-length traffic.
+
+24 requests with frame budgets cycling 8..40 on 8 lanes: wave scheduling
+holds every lane until the longest stream in the wave finishes; continuous
+batching refills lanes as streams end.  Reports wall time and total frames/s
+for both schedulers (one JSON line each).
+
+Run: python bench_continuous.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from qwen3_tts_tpu.core.config import EngineConfig, SamplerConfig
+    from qwen3_tts_tpu.engine import TtsEngine
+    from qwen3_tts_tpu.io.voice_file import VoiceFile
+    from qwen3_tts_tpu.serve.batch import BatchRequest, BatchSynthesizer
+    from qwen3_tts_tpu.serve.continuous import ContinuousBatcher
+    import tempfile, pathlib
+
+    tmp = pathlib.Path(tempfile.mkdtemp())
+    (tmp / "preset_speakers").mkdir()
+    rng = np.random.default_rng(0)
+    vf = VoiceFile.new("", [], rng.standard_normal(2048).astype(np.float32) * 0.02)
+    vf.name = "vivian"
+    vf.save(tmp / "preset_speakers" / "vivian.json")
+
+    cfg = EngineConfig(int8_weights=True)
+    eng = TtsEngine(model_dir=tmp, config=cfg)
+    eng.set_max_steps(64)
+    eng.set_sampler_config(SamplerConfig(seed=0))
+    voice = eng.get_speaker("vivian")
+
+    budgets = [(i % 5) * 8 + 8 for i in range(24)]   # 8,16,24,32,40,...
+    reqs = [BatchRequest(f"request {i}", voice, max_frames=budgets[i])
+            for i in range(24)]
+    total_frames = sum(budgets)
+
+    for name, run in [
+        ("wave", lambda: BatchSynthesizer(eng, batch_size=8).synthesize(reqs)),
+        ("continuous", lambda: ContinuousBatcher(eng, batch_size=8).run(reqs)),
+    ]:
+        run()  # warm/compile
+        t0 = time.perf_counter()
+        results = run()
+        dt = time.perf_counter() - t0
+        frames = sum(r.frames for r in results)
+        print(json.dumps({
+            "scheduler": name, "wall_s": round(dt, 3),
+            "frames": frames,
+            "frames_per_s": round(frames / dt, 1),
+            "audio_s_per_s": round(frames / 12.0 / dt, 2)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,7 @@ class BatchRequest:
     text: str
     voice: VoiceFile
     instruct: Optional[str] = None
+    max_frames: Optional[int] = None   # per-request frame budget (None = engine default)
 
 
 @dataclass
@@ -103,9 +104,14 @@ class BatchSynthesizer:
         dec_state = codec_decoder.init_decoder_state(
             cfg.codec_decoder, eng.codec_decoder_params, batch=b)
 
+        budgets = np.asarray(
+            [(wave[i].max_frames if i < n_real and wave[i].max_frames
+              else eng.max_steps) for i in range(n_real)]
+            + [eng.max_steps] * (b - n_real), np.int64)
         wavs: List[List[np.ndarray]] = [[] for _ in range(b)]
         n_frames = np.zeros(b, np.int64)
         saw_eos = np.zeros(b, bool)
+        finished = np.zeros(b, bool)
         steps = 0
         while steps < eng.max_steps:
             n = min(n_chunk, eng.max_steps - steps)
@@ -116,13 +122,19 @@ class BatchSynthesizer:
             wav_np = np.asarray(wav)                # [B, n*spf]
             steps += n
             for i in range(b):
+                if finished[i]:
+                    continue
                 k = int(valid_np[i].sum())
-                if k > 0 and not saw_eos[i]:
+                k = min(k, int(budgets[i] - n_frames[i]))
+                if k > 0:
                     wavs[i].append(wav_np[i, : k * spf])
                     n_frames[i] += k
-                if k < n:
+                if int(valid_np[i].sum()) < n:
                     saw_eos[i] = True
-            if saw_eos.all():
+                    finished[i] = True
+                elif n_frames[i] >= budgets[i]:
+                    finished[i] = True
+            if finished.all():
                 break
 
         results = []

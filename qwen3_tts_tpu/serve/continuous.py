@@ -123,7 +123,8 @@ class ContinuousBatcher:
                     wavs[req].append(wav_np[lane, : k * spf])
                     frames[req] += k
                 hit_eos = k < n_chunk
-                out_of_budget = frames[req] >= self.max_frames
+                budget = requests[req].max_frames or self.max_frames
+                out_of_budget = frames[req] >= budget
                 if hit_eos or out_of_budget:
                     samples = (np.concatenate(wavs[req]) if wavs[req]
                                else np.zeros(0, np.float32))
