@@ -10,9 +10,12 @@ Endpoints:
                              are generated; ~333 ms of audio per chunk)
 
 The reference exposes no server (SURVEY.md §1: CLI only); this is the
-production-serving front of the framework.  Single device worker: requests
-are serialized through a lock (batch aggregation lives in serve.batch /
-serve.continuous and can back this handler in a later round).
+production-serving front of the framework.  Two execution modes:
+  * direct (default): requests serialize through a lock on the engine —
+    right for single-user / streaming use;
+  * batched: pass `TtsServer(..., batcher=OnlineBatcher(engine, ...))` and
+    non-streaming /tts requests are submitted to the continuous-batching
+    scheduler, so concurrent requests share device batches.
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ def _wav_bytes(samples: np.ndarray, rate: int = P.SAMPLE_RATE) -> bytes:
     return buf.getvalue()
 
 
-def make_handler(engine, lock: threading.Lock):
+def make_handler(engine, lock: threading.Lock, batcher=None):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -77,6 +80,20 @@ def make_handler(engine, lock: threading.Lock):
             stream = "stream=1" in (self.path.split("?", 1) + [""])[1]
             voice = engine.get_speaker(req.get("speaker", P.DEFAULT_SPEAKER))
             instruct = req.get("instruction")
+            if batcher is not None and not stream:
+                from .batch import BatchRequest
+                fut = batcher.submit(BatchRequest(
+                    text, voice, instruct,
+                    max_frames=req.get("max_steps")))
+                result = fut.result()
+                body = _wav_bytes(result.audio.samples)
+                self.send_response(200)
+                self.send_header("Content-Type", "audio/wav")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("X-QTTS-Frames", str(result.frames))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             with lock:
                 engine.set_sampler_config(SamplerConfig(
                     temperature=float(req.get("temperature", 0.7)),
@@ -114,11 +131,13 @@ def make_handler(engine, lock: threading.Lock):
 class TtsServer:
     """Threaded HTTP server wrapping one engine."""
 
-    def __init__(self, engine, host: str = "127.0.0.1", port: int = 8777):
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 8777,
+                 batcher=None):
         self.engine = engine
+        self.batcher = batcher
         self._lock = threading.Lock()
-        self.httpd = ThreadingHTTPServer((host, port),
-                                         make_handler(engine, self._lock))
+        self.httpd = ThreadingHTTPServer(
+            (host, port), make_handler(engine, self._lock, batcher))
         self.port = self.httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None
 
@@ -141,10 +160,16 @@ def main(argv=None) -> int:
     ap.add_argument("--quant", default="none")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8777)
+    ap.add_argument("--batch", type=int, default=0,
+                    help="enable continuous-batching scheduler with N lanes")
     args = ap.parse_args(argv)
     from ..engine import TtsEngine
     engine = TtsEngine(model_dir=args.model_dir, quant=args.quant)
-    server = TtsServer(engine, args.host, args.port)
+    batcher = None
+    if args.batch > 0:
+        from .online import OnlineBatcher
+        batcher = OnlineBatcher(engine, batch_size=args.batch).start()
+    server = TtsServer(engine, args.host, args.port, batcher=batcher)
     print(f"serving on {args.host}:{server.port}")
     server.start()
     try:

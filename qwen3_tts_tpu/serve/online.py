@@ -1,0 +1,186 @@
+"""Online continuous-batching scheduler: a long-lived worker that owns the
+device generation state and serves requests submitted at any time.
+
+`ContinuousBatcher` (serve.continuous) drains a fixed queue; this scheduler
+is its production form: callers `submit()` from any thread and get a Future;
+the worker keeps one fixed-bucket generation state warm, refills lanes as
+streams finish OR as new requests arrive, and parks when idle.  One chunk of
+work per loop iteration keeps submit latency bounded at ~1 chunk (~333 ms of
+audio time, a few tens of ms wall).
+
+Design constraints inherited from the static-shape batch model:
+  * one prompt bucket per scheduler (prompts longer than `bucket` truncate);
+  * `batch_size` lanes; a request occupies one lane until EOS or its frame
+    budget; per-lane KV cursors (models.transformer.KVCache) make refills
+    free.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import protocol as P_
+from ..io.audio import AudioSample
+from ..models.codec import decoder as codec_decoder
+from ..runtime.generate import SamplerParams
+from .batch import BatchRequest, BatchResult
+
+
+class OnlineBatcher:
+    """Thread-backed continuous batching with ad-hoc request submission."""
+
+    def __init__(self, engine, batch_size: int = 8, bucket: int = 128,
+                 max_frames_per_stream: Optional[int] = None,
+                 idle_poll_s: float = 0.05):
+        self.engine = engine
+        self.batch_size = int(batch_size)
+        self.bucket = int(bucket)
+        self.max_frames = max_frames_per_stream or engine.max_steps
+        self.idle_poll_s = idle_poll_s
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._started = False
+
+    # ------------------------------------------------------------- public
+    def start(self) -> "OnlineBatcher":
+        if not self._started:
+            self._thread.start()
+            self._started = True
+        return self
+
+    def submit(self, request: BatchRequest) -> "Future[BatchResult]":
+        """Queue a request; returns a Future resolving to a BatchResult."""
+        fut: "Future[BatchResult]" = Future()
+        self._queue.put((request, fut))
+        if not self._started:
+            self.start()
+        return fut
+
+    def synthesize(self, text: str, voice, instruct=None,
+                   max_frames=None) -> "Future[BatchResult]":
+        return self.submit(BatchRequest(text, voice, instruct,
+                                        max_frames=max_frames))
+
+    def stop(self, timeout: float = 30.0) -> None:
+        self._stop.set()
+        if self._started:
+            self._thread.join(timeout=timeout)
+
+    # ------------------------------------------------------------- worker
+    def _loop(self) -> None:
+        eng = self.engine
+        cfg = eng.config
+        b = self.batch_size
+        spf = cfg.codec_decoder.samples_per_frame
+        n_chunk = cfg.runtime.frames_per_chunk
+        sampler = SamplerParams.make(eng.sampler_config)
+
+        state = None
+        dec_state = None
+        lane_fut: List[Optional[Future]] = [None] * b
+        lane_req: List[Optional[BatchRequest]] = [None] * b
+        lane_wavs: List[List[np.ndarray]] = [[] for _ in range(b)]
+        lane_frames = [0] * b
+        reset_fn = jax.jit(codec_decoder.reset_lanes)
+        set_done = jax.jit(lambda s, lane: s.replace(
+            done=s.done.at[lane].set(True)))
+
+        def try_fill_lanes():
+            nonlocal state, dec_state
+            refill_mask = np.zeros(b, bool)
+            for lane in range(b):
+                if lane_fut[lane] is not None:
+                    continue
+                try:
+                    req, fut = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if fut.cancelled():
+                    continue
+                plan = eng._build_voice_prompt(req.text, req.voice,
+                                               req.instruct)
+                if state is None:
+                    # Cold start: build the state with this first request.
+                    embeds, lens = eng.prompt_to_device(
+                        [plan] * b, self.bucket)
+                    seed = eng.sampler_config.seed
+                    if seed is None:
+                        seed = time.time_ns() & 0x7FFFFFFFFFFFFFFF
+                    state = eng.generator.start(
+                        embeds, jnp.asarray(lens), jax.random.PRNGKey(seed))
+                    done0 = np.ones(b, bool)
+                    done0[lane] = False
+                    state = state.replace(done=jnp.asarray(done0))
+                    dec_state = codec_decoder.init_decoder_state(
+                        cfg.codec_decoder, eng.codec_decoder_params, batch=b)
+                else:
+                    embeds, _ = eng.prompt_to_device(plan, self.bucket)
+                    state = eng.generator.refill_lane(
+                        state, embeds[0], min(plan.length, self.bucket), lane)
+                    refill_mask[lane] = True
+                lane_fut[lane] = fut
+                lane_req[lane] = req
+                lane_wavs[lane] = []
+                lane_frames[lane] = 0
+            if refill_mask.any():
+                dec_state = reset_fn(dec_state, jnp.asarray(refill_mask))
+
+        def finish(lane: int, eos: bool):
+            fut = lane_fut[lane]
+            samples = (np.concatenate(lane_wavs[lane]) if lane_wavs[lane]
+                       else np.zeros(0, np.float32))
+            result = BatchResult(
+                audio=AudioSample(samples.astype(np.float32),
+                                  P_.SAMPLE_RATE, 1),
+                frames=lane_frames[lane], eos=eos)
+            lane_fut[lane] = None
+            lane_req[lane] = None
+            if fut is not None and not fut.cancelled():
+                fut.set_result(result)
+
+        while not self._stop.is_set():
+            try_fill_lanes()
+            active = [i for i in range(b) if lane_fut[i] is not None]
+            if not active:
+                time.sleep(self.idle_poll_s)
+                continue
+
+            state, dec_state, codes, valid, wav = \
+                eng.generator.chunk_with_audio(
+                    state, dec_state, sampler, prompt_cap=self.bucket,
+                    n_frames=n_chunk, uniform_cursor=False)
+            valid_np = np.asarray(valid)
+            wav_np = np.asarray(wav)
+            for lane in active:
+                budget = (lane_req[lane].max_frames or self.max_frames)
+                k = int(valid_np[lane].sum())
+                k = min(k, budget - lane_frames[lane])
+                if k > 0:
+                    lane_wavs[lane].append(wav_np[lane, : k * spf])
+                    lane_frames[lane] += k
+                hit_eos = int(valid_np[lane].sum()) < n_chunk
+                if hit_eos or lane_frames[lane] >= budget:
+                    if not hit_eos:
+                        state = set_done(state, lane)
+                    finish(lane, hit_eos)
+
+        # Drain on stop: fail pending futures cleanly.
+        for lane in range(b):
+            if lane_fut[lane] is not None:
+                finish(lane, eos=False)
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.cancelled():
+                fut.set_exception(RuntimeError("scheduler stopped"))

@@ -77,3 +77,30 @@ def test_not_found(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+def test_tts_via_online_batcher(tiny_engine):
+    """Server in batched mode routes /tts through the continuous scheduler."""
+    import urllib.request
+    from qwen3_tts_tpu.serve.api import TtsServer
+    from qwen3_tts_tpu.serve.online import OnlineBatcher
+
+    tiny_engine.set_max_steps(4)
+    ob = OnlineBatcher(tiny_engine, batch_size=2, bucket=32,
+                       max_frames_per_stream=3, idle_poll_s=0.01).start()
+    srv = TtsServer(tiny_engine, host="127.0.0.1", port=0, batcher=ob).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/tts",
+            data=json.dumps({"text": "batched", "max_steps": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            frames = int(r.headers["X-QTTS-Frames"])
+            data = r.read()
+        assert frames <= 3
+        with wave.open(io.BytesIO(data)) as w:
+            assert w.getnframes() == frames * 4  # tiny spf = 4
+    finally:
+        srv.stop()
+        ob.stop()

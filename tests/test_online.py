@@ -1,0 +1,73 @@
+"""Online batcher: ad-hoc submission, concurrent clients, idle re-entry,
+clean shutdown."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.core.config import SamplerConfig
+from qwen3_tts_tpu.serve.batch import BatchRequest
+from qwen3_tts_tpu.serve.online import OnlineBatcher
+
+
+@pytest.fixture()
+def batcher(tiny_engine):
+    tiny_engine.set_max_steps(8)
+    tiny_engine.set_sampler_config(SamplerConfig(seed=4))
+    ob = OnlineBatcher(tiny_engine, batch_size=2, bucket=32,
+                       max_frames_per_stream=4, idle_poll_s=0.01).start()
+    yield ob
+    ob.stop()
+
+
+def test_submit_and_complete(batcher, tiny_engine):
+    voice = tiny_engine.get_speaker("vivian")
+    futs = [batcher.submit(BatchRequest(f"text {i}", voice, max_frames=3))
+            for i in range(5)]
+    spf = tiny_engine.config.codec_decoder.samples_per_frame
+    for f in futs:
+        r = f.result(timeout=300)
+        assert r.frames <= 3
+        assert len(r.audio.samples) == r.frames * spf
+        assert np.isfinite(r.audio.samples).all()
+
+
+def test_idle_then_resubmit(batcher, tiny_engine):
+    voice = tiny_engine.get_speaker("vivian")
+    r1 = batcher.submit(BatchRequest("first", voice, max_frames=2)
+                        ).result(timeout=300)
+    # scheduler goes idle, then accepts more work
+    r2 = batcher.submit(BatchRequest("second", voice, max_frames=2)
+                        ).result(timeout=300)
+    assert r1.frames <= 2 and r2.frames <= 2
+
+
+def test_concurrent_clients(batcher, tiny_engine):
+    voice = tiny_engine.get_speaker("vivian")
+    results = {}
+
+    def client(i):
+        results[i] = batcher.submit(
+            BatchRequest(f"client {i}", voice, max_frames=2)).result(timeout=300)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(results) == 4
+    for r in results.values():
+        assert np.isfinite(r.audio.samples).all()
+
+
+def test_stop_fails_pending(tiny_engine):
+    tiny_engine.set_sampler_config(SamplerConfig(seed=1))
+    ob = OnlineBatcher(tiny_engine, batch_size=2, bucket=32,
+                       max_frames_per_stream=2)
+    # not started: submit starts it; then stop and check queued-after-stop
+    voice = tiny_engine.get_speaker("vivian")
+    f1 = ob.submit(BatchRequest("a", voice, max_frames=2))
+    f1.result(timeout=300)
+    ob.stop()
+    assert not ob._thread.is_alive()
