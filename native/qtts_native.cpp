@@ -215,3 +215,97 @@ void qtts_f32_to_pcm16(const float* in, int64_t n, int16_t* out) {
 int qtts_version(void) { return 1; }
 
 }  // extern "C"
+
+// ---- parallel multi-tensor loader ------------------------------------------
+//
+// Dequantizes many tensors straight from a GGUF file in parallel (one thread
+// per hardware core, work-stealing by atomic index).  The Python side parses
+// the header and passes (file_offset, ggml_type, n_elems, out_offset) per
+// tensor; this fills one contiguous float32 arena.  This is the framework's
+// native data loader — the role ggml's loader plays for the reference.
+
+#include <atomic>
+#include <cstdio>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+typedef struct {
+    int64_t file_offset;   // absolute byte offset of tensor data
+    int32_t ggml_type;     // 0,1,2,6,8,12,13,14,30 supported
+    int64_t n_elems;
+    int64_t out_offset;    // float offset into the output arena
+} qtts_tensor_spec;
+
+static int64_t type_bytes(int32_t t, int64_t n_elems) {
+    switch (t) {
+        case 0: return n_elems * 4;              // F32
+        case 1: case 30: return n_elems * 2;     // F16 / BF16
+        case 2: return (n_elems / 32) * 18;      // Q4_0
+        case 6: return (n_elems / 32) * 22;      // Q5_0
+        case 8: return (n_elems / 32) * 34;      // Q8_0
+        case 12: return (n_elems / 256) * 144;   // Q4_K
+        case 13: return (n_elems / 256) * 176;   // Q5_K
+        case 14: return (n_elems / 256) * 210;   // Q6_K
+        default: return -1;
+    }
+}
+
+static int dequant_one(const uint8_t* raw, int32_t t, int64_t n, float* out) {
+    switch (t) {
+        case 0: std::memcpy(out, raw, n * 4); return 0;
+        case 1: qtts_f16_to_f32((const uint16_t*)raw, n, out); return 0;
+        case 30: qtts_bf16_to_f32((const uint16_t*)raw, n, out); return 0;
+        case 2: qtts_dequant_q4_0(raw, n / 32, out); return 0;
+        case 6: qtts_dequant_q5_0(raw, n / 32, out); return 0;
+        case 8: qtts_dequant_q8_0(raw, n / 32, out); return 0;
+        case 12: qtts_dequant_q4_k(raw, n / 256, out); return 0;
+        case 13: qtts_dequant_q5_k(raw, n / 256, out); return 0;
+        case 14: qtts_dequant_q6_k(raw, n / 256, out); return 0;
+        default: return -1;
+    }
+}
+
+// Returns 0 on success, negative on error.
+int qtts_load_tensors(const char* path, const qtts_tensor_spec* specs,
+                      int64_t n_tensors, float* out, int32_t n_threads) {
+    if (n_threads <= 0) {
+        unsigned hc = std::thread::hardware_concurrency();
+        n_threads = hc ? (int32_t)hc : 4;
+    }
+    std::atomic<int64_t> next(0);
+    std::atomic<int> err(0);
+
+    auto worker = [&]() {
+        FILE* f = std::fopen(path, "rb");
+        if (!f) { err.store(-2); return; }
+        std::vector<uint8_t> buf;
+        for (;;) {
+            int64_t i = next.fetch_add(1);
+            if (i >= n_tensors || err.load()) break;
+            const qtts_tensor_spec& s = specs[i];
+            int64_t nb = type_bytes(s.ggml_type, s.n_elems);
+            if (nb < 0) { err.store(-3); break; }
+            buf.resize((size_t)nb);
+            if (std::fseek(f, (long)s.file_offset, SEEK_SET) != 0 ||
+                std::fread(buf.data(), 1, (size_t)nb, f) != (size_t)nb) {
+                err.store(-4);
+                break;
+            }
+            if (dequant_one(buf.data(), s.ggml_type, s.n_elems,
+                            out + s.out_offset) != 0) {
+                err.store(-3);
+                break;
+            }
+        }
+        std::fclose(f);
+    };
+
+    std::vector<std::thread> threads;
+    for (int32_t t = 0; t < n_threads; ++t) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+    return err.load();
+}
+
+}  // extern "C"

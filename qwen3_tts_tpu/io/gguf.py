@@ -84,6 +84,34 @@ class GGUFFile:
     def names(self) -> List[str]:
         return list(self.tensors)
 
+    def read_tensors(self, names, dtype=np.float32):
+        """Read+dequantize many tensors at once.  Uses the native parallel
+        loader (utils.native.native_load_tensors) when built — threads across
+        tensors, one pass over the file — else falls back per-tensor."""
+        from ..utils.native import native_load_tensors
+        names = list(names)
+        infos = [self.tensors[n] for n in names]
+        supported = {GGML_F32, GGML_F16, GGML_BF16, GGML_Q4_0, GGML_Q5_0,
+                     GGML_Q8_0, GGML_Q4_K, GGML_Q5_K, GGML_Q6_K}
+        if all(i.ggml_type in supported for i in infos):
+            specs, off = [], 0
+            for i in infos:
+                n_elems = int(np.prod(i.shape)) if i.shape else 1
+                specs.append((self.data_start + i.offset, i.ggml_type,
+                              n_elems, off))
+                off += n_elems
+            arena = native_load_tensors(self.path, specs, off)
+            if arena is not None:
+                out, pos = {}, 0
+                for name, i in zip(names, infos):
+                    n_elems = int(np.prod(i.shape)) if i.shape else 1
+                    out[name] = np.ascontiguousarray(
+                        arena[pos:pos + n_elems].reshape(i.shape)
+                        .astype(dtype, copy=False))
+                    pos += n_elems
+                return out
+        return {n: self.read_tensor(n, dtype) for n in names}
+
     def read_tensor(self, name: str, dtype=np.float32) -> np.ndarray:
         """Read and dequantize one tensor to `dtype` (default float32)."""
         info = self.tensors[name]

@@ -55,9 +55,19 @@ def config_from_gguf(g: GGUFFile, base) -> Any:
 
 def _stack_layers(g: GGUFFile, cfg, dtype) -> Dict[str, Any]:
     l = cfg.n_layers
+    # Batch-read every layer tensor in one parallel pass over the file
+    # (native loader threads across tensors; see native/qtts_native.cpp).
+    wanted = [f"blk.{i}.{sfx}.weight" for i in range(l)
+              for sfx in ("attn_norm", "ffn_norm", "attn_q", "attn_k",
+                          "attn_v", "attn_output", "ffn_gate", "ffn_up",
+                          "ffn_down", "attn_q_norm", "attn_k_norm")
+              if f"blk.{i}.{sfx}.weight" in g.tensors]
+    cache = g.read_tensors(wanted)
 
     def t(name: str, transpose: bool) -> np.ndarray:
-        arr = g.read_tensor(name)
+        arr = cache.get(name)
+        if arr is None:
+            arr = g.read_tensor(name)
         return arr.T if transpose else arr
 
     def stack(suffix: str, transpose: bool) -> jnp.ndarray:

@@ -79,3 +79,38 @@ def native_dequantize(raw: np.ndarray, ggml_type: int,
         ctypes.c_int64(nb),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+class _TensorSpec(ctypes.Structure):
+    _fields_ = [("file_offset", ctypes.c_int64),
+                ("ggml_type", ctypes.c_int32),
+                ("n_elems", ctypes.c_int64),
+                ("out_offset", ctypes.c_int64)]
+
+
+def native_load_tensors(path: str, specs, total_elems: int,
+                        n_threads: int = 0) -> Optional[np.ndarray]:
+    """Parallel multi-tensor GGUF load+dequant into one float32 arena.
+
+    specs: iterable of (file_offset, ggml_type, n_elems, out_offset).
+    Returns the arena or None if the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_qtts_load_configured"):
+        lib.qtts_load_tensors.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(_TensorSpec), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32]
+        lib.qtts_load_tensors.restype = ctypes.c_int
+        lib._qtts_load_configured = True
+    specs = list(specs)
+    arr = (_TensorSpec * len(specs))(*[_TensorSpec(*s) for s in specs])
+    out = np.empty(total_elems, np.float32)
+    rc = lib.qtts_load_tensors(
+        str(path).encode(), arr, len(specs),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int32(n_threads))
+    if rc != 0:
+        return None
+    return out

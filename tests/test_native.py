@@ -48,3 +48,20 @@ def test_f16_conversion_exhaustive_finite():
     ref = bits.view(np.float16).astype(np.float32)
     finite = np.isfinite(ref)
     assert np.array_equal(out[finite], ref[finite])
+
+
+def test_parallel_loader_matches_per_tensor(tmp_path):
+    """native qtts_load_tensors == per-tensor reads on a real GGUF file."""
+    from qwen3_tts_tpu.io.gguf import read_gguf, write_gguf
+
+    rng = np.random.default_rng(0)
+    tensors = {f"t{i}": rng.standard_normal((32, 64)).astype(
+        np.float32 if i % 2 else np.float16) for i in range(6)}
+    path = tmp_path / "p.gguf"
+    write_gguf(path, tensors)
+    g = read_gguf(path)
+
+    batch = g.read_tensors(list(tensors))
+    for name in tensors:
+        np.testing.assert_allclose(batch[name], g.read_tensor(name),
+                                   rtol=1e-6)
