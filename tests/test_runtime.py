@@ -102,3 +102,22 @@ def test_done_is_sticky(setup, monkeypatch):
             cfg, tp, pp, pack, state, sampler, n_frames=1, prompt_cap=8)
         all_valid.append(bool(np.asarray(valid)[0, 0]))
     assert all_valid == [False, False, False]  # EOS at frame 0 sticks
+
+
+def test_generation_under_debug_nans(setup):
+    """SURVEY §5 race/sanity row: the full frame loop runs clean under
+    jax_debug_nans (fails fast if any op produces NaN)."""
+    import jax
+
+    cfg, tp, pp, pack = setup
+    jax.config.update("jax_debug_nans", True)
+    try:
+        state = _start(cfg, tp, b=1)
+        sampler = gen.SamplerParams(temperature=jnp.float32(0.7),
+                                    top_k=jnp.int32(40),
+                                    top_p=jnp.float32(0.9))
+        state, codes, valid = gen.gen_frames(
+            cfg, tp, pp, pack, state, sampler, n_frames=2, prompt_cap=8)
+        assert np.isfinite(np.asarray(state.logits)).all()
+    finally:
+        jax.config.update("jax_debug_nans", False)
