@@ -75,15 +75,19 @@ def _stack_layers(g: GGUFFile, cfg, dtype) -> Dict[str, Any]:
             np.stack([t(f"blk.{i}.{suffix}", transpose) for i in range(l)]),
             dtype)
 
+    def stack_fused(suffixes) -> jnp.ndarray:
+        # fuse along the output-feature axis (see models.transformer)
+        return jnp.asarray(np.stack([
+            np.concatenate([t(f"blk.{i}.{sfx}.weight", True)
+                            for sfx in suffixes], axis=-1)
+            for i in range(l)]), dtype)
+
     layers = {
         "ln1": stack("attn_norm.weight", False),
         "ln2": stack("ffn_norm.weight", False),
-        "wq": stack("attn_q.weight", True),
-        "wk": stack("attn_k.weight", True),
-        "wv": stack("attn_v.weight", True),
+        "wqkv": stack_fused(("attn_q", "attn_k", "attn_v")),
         "wo": stack("attn_output.weight", True),
-        "w_gate": stack("ffn_gate.weight", True),
-        "w_up": stack("ffn_up.weight", True),
+        "w_gate_up": stack_fused(("ffn_gate", "ffn_up")),
         "w_down": stack("ffn_down.weight", True),
     }
     if f"blk.0.attn_q_norm.weight" in g.tensors:

@@ -66,18 +66,18 @@ def init_decoder_params(cfg, key: jax.Array) -> Dict[str, Any]:
     def rnd(rng, shape, scale):
         return (jax.random.normal(rng, shape, jnp.float32) * scale).astype(dtype)
 
+    # qkv and gate/up are stored FUSED along the output-feature axis: one
+    # matmul instead of three (resp. two) per layer — decode steps are so
+    # small that per-op overhead, not FLOPs, dominates them.
     return {
         "layers": {
             "ln1": jnp.ones((l, d), dtype),
             "ln2": jnp.ones((l, d), dtype),
-            "wq": rnd(next(k), (l, d, h * dh), s_attn),
-            "wk": rnd(next(k), (l, d, hkv * dh), s_attn),
-            "wv": rnd(next(k), (l, d, hkv * dh), s_attn),
+            "wqkv": rnd(next(k), (l, d, (h + 2 * hkv) * dh), s_attn),
             "wo": rnd(next(k), (l, h * dh, d), (h * dh) ** -0.5),
             "q_norm": jnp.ones((l, dh), dtype),
             "k_norm": jnp.ones((l, dh), dtype),
-            "w_gate": rnd(next(k), (l, d, f), s_attn),
-            "w_up": rnd(next(k), (l, d, f), s_attn),
+            "w_gate_up": rnd(next(k), (l, d, 2 * f), s_attn),
             "w_down": rnd(next(k), (l, f, d), s_ff),
         },
         "final_norm": jnp.ones((d,), dtype),
@@ -113,9 +113,10 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
         xx = carry
         p, k_cache, v_cache = layer
         hn = rms_norm(xx, p["ln1"], cfg.rms_eps)
-        q = _mm(hn, p["wq"]).reshape(b, s, h, dh)
-        kk = _mm(hn, p["wk"]).reshape(b, s, hkv, dh)
-        vv = _mm(hn, p["wv"]).reshape(b, s, hkv, dh)
+        qkv = _mm(hn, p["wqkv"])
+        q = qkv[..., : h * dh].reshape(b, s, h, dh)
+        kk = qkv[..., h * dh: (h + hkv) * dh].reshape(b, s, hkv, dh)
+        vv = qkv[..., (h + hkv) * dh:].reshape(b, s, hkv, dh)
         if cfg.qk_norm:
             q = rms_norm(q, p["q_norm"], cfg.rms_eps)
             kk = rms_norm(kk, p["k_norm"], cfg.rms_eps)
@@ -132,7 +133,9 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
             attn = gqa_attend(q, k_cache, v_cache, mask).reshape(b, s, h * dh)
         xx = xx + _mm(attn, p["wo"])
         hn = rms_norm(xx, p["ln2"], cfg.rms_eps)
-        ff = jax.nn.silu(_mm(hn, p["w_gate"])) * _mm(hn, p["w_up"])
+        gu = _mm(hn, p["w_gate_up"])
+        f_half = gu.shape[-1] // 2
+        ff = jax.nn.silu(gu[..., :f_half]) * gu[..., f_half:]
         xx = xx + _mm(ff, p["w_down"])
         return xx, (k_cache, v_cache)
 

@@ -56,7 +56,7 @@ def quantize_decoder_layers(layers: Dict[str, Any]) -> Dict[str, Any]:
     """Quantize the big projection matrices of a stacked layer dict
     ([L, in, out] each); norms stay high precision."""
     out = dict(layers)
-    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+    for name in ("wqkv", "wo", "w_gate_up", "w_down"):
         out[name] = quantize_weight(layers[name], axis=-2)
     return out
 

@@ -48,13 +48,10 @@ def decoder_param_specs() -> Dict[str, Any]:
     Megatron split, expressed declaratively."""
     return {
         "ln1": P(), "ln2": P(),
-        "wq": P(None, None, MODEL_AXIS),
-        "wk": P(None, None, MODEL_AXIS),
-        "wv": P(None, None, MODEL_AXIS),
+        "wqkv": P(None, None, MODEL_AXIS),
         "wo": P(None, MODEL_AXIS, None),
         "q_norm": P(), "k_norm": P(),
-        "w_gate": P(None, None, MODEL_AXIS),
-        "w_up": P(None, None, MODEL_AXIS),
+        "w_gate_up": P(None, None, MODEL_AXIS),
         "w_down": P(None, MODEL_AXIS, None),
     }
 

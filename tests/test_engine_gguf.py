@@ -106,7 +106,7 @@ def test_engine_gguf_int8(gguf_model_dir):
     if not q8.exists():
         shutil.copytree(root / "gguf", q8)
     eng = TtsEngine(model_dir=root, quant="q8_0", config=cfg)
-    assert is_quantized(eng.talker_params["layers"]["wq"])
+    assert is_quantized(eng.talker_params["layers"]["wqkv"])
     assert is_quantized(eng.predictor_params["lm_head"])
     eng.set_max_steps(3)
     eng.set_sampler_config(SamplerConfig(seed=1))

@@ -59,10 +59,17 @@ def test_talker_gguf_import(tmp_path):
     assert cfg.rms_eps == pytest.approx(1e-5)
     assert cfg.n_layers == base.n_layers
 
-    # mapping + transpose: wq[l] must equal attn_q.weight.T
-    got = np.asarray(params["layers"]["wq"][0], np.float32)
-    np.testing.assert_allclose(got, tensors["blk.0.attn_q.weight"].T,
-                               atol=1e-6)
+    # mapping + transpose: the q slice of the fused wqkv must equal
+    # attn_q.weight.T (fusion along the output-feature axis)
+    h_dh = base.n_heads * base.head_dim
+    kv_dh = base.n_kv_heads * base.head_dim
+    wqkv = np.asarray(params["layers"]["wqkv"][0], np.float32)
+    np.testing.assert_allclose(wqkv[:, :h_dh],
+                               tensors["blk.0.attn_q.weight"].T, atol=1e-6)
+    np.testing.assert_allclose(wqkv[:, h_dh:h_dh + kv_dh],
+                               tensors["blk.0.attn_k.weight"].T, atol=1e-6)
+    np.testing.assert_allclose(wqkv[:, h_dh + kv_dh:],
+                               tensors["blk.0.attn_v.weight"].T, atol=1e-6)
     got_o = np.asarray(params["layers"]["wo"][1], np.float32)
     np.testing.assert_allclose(got_o, tensors["blk.1.attn_output.weight"].T,
                                atol=1e-6)
