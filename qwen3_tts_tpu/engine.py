@@ -334,18 +334,33 @@ class TtsEngine:
         plan = self._build_voice_prompt(text, voice, instruct)
         yield from self._stream_inference(plan)
 
+    @staticmethod
+    def _safe_emb(emb: np.ndarray) -> np.ndarray:
+        """Coerce a speaker embedding to the protocol width (2048): pad or
+        truncate malformed voice files instead of crashing mid-request."""
+        emb = np.asarray(emb, np.float32).reshape(-1)
+        if emb.shape[0] == P.SPEAKER_EMB_DIM:
+            return emb
+        from .utils.logging import get_logger
+        get_logger().warning(
+            "speaker embedding has %d dims, expected %d — padding/truncating",
+            emb.shape[0], P.SPEAKER_EMB_DIM)
+        out = np.zeros(P.SPEAKER_EMB_DIM, np.float32)
+        out[: min(emb.shape[0], P.SPEAKER_EMB_DIM)] = emb[: P.SPEAKER_EMB_DIM]
+        return out
+
     def _build_voice_prompt(self, text: str, voice: VoiceFile,
                             instruct: Optional[str]) -> PromptPlan:
+        emb = self._safe_emb(voice.embedding_array)
         if not voice.audio_codes:
             return PromptBuilder.plan_core(
                 text, self.tokenizer, lang_id=self.config.lang_id,
-                spk_id=None, spk_emb=voice.embedding_array,
-                instruct=instruct)
+                spk_id=None, spk_emb=emb, instruct=instruct)
         return PromptBuilder.plan_clone(
             text, self.tokenizer,
             ref_codes=np.asarray(voice.audio_codes, np.int32),
             ref_text_ids=self.tokenizer.encode(voice.ref_text),
-            spk_emb=voice.embedding_array,
+            spk_emb=emb,
             lang_id=self.config.lang_id, instruct=instruct)
 
     def prompt_to_device(self, plans, bucket: int = None):

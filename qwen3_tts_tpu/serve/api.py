@@ -67,6 +67,19 @@ def make_handler(engine, lock: threading.Lock, batcher=None):
                 self.send_error(404)
 
         def do_POST(self):
+            try:
+                self._do_post()
+            except BrokenPipeError:
+                pass
+            except Exception as e:   # engine failure -> 500, keep serving
+                from ..utils.logging import get_logger
+                get_logger().exception("tts request failed")
+                try:
+                    self.send_error(500, f"synthesis failed: {e}")
+                except Exception:
+                    pass
+
+        def _do_post(self):
             if not self.path.startswith("/tts"):
                 self.send_error(404)
                 return

@@ -148,3 +148,14 @@ def test_prompt_longer_than_bucket_truncates(tiny_engine):
     long_text = "x" * (eng.config.runtime.max_prompt_len * 2)
     audio = eng.generate_with_voice(long_text, voice)
     assert np.isfinite(audio.samples).all()
+
+
+def test_malformed_speaker_embedding_is_coerced(tiny_engine):
+    from qwen3_tts_tpu.io.voice_file import VoiceFile
+    from qwen3_tts_tpu.core.config import SamplerConfig as SC
+    eng = tiny_engine
+    eng.set_max_steps(2)
+    eng.set_sampler_config(SC(seed=0))
+    bad = VoiceFile.new("", [], np.ones(100, np.float32))  # wrong width
+    audio = eng.generate_with_voice("short", bad)
+    assert np.isfinite(audio.samples).all()
