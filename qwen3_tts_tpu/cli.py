@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print JSON metrics after generation")
     p.add_argument("--skip-download", action="store_true",
                    help="do not try to fetch missing model files")
+    p.add_argument("--audition-voice", type=Path,
+                   help="decode a VoiceFile's reference codes to WAV and exit")
     return p
 
 
@@ -71,6 +73,13 @@ def main(argv=None) -> int:
                   "(development mode)", file=sys.stderr)
 
     engine = TtsEngine(model_dir=args.model_dir, quant=args.quant)
+    if args.audition_voice:
+        vf = VoiceFile.load(args.audition_voice)
+        audio = engine.decode_codes(vf.audio_codes)
+        audio.save_wav(args.output)
+        print(f"Auditioned {len(vf.audio_codes) // 16} reference frames "
+              f"-> {args.output}")
+        return 0
     engine.set_max_steps(args.max_steps)
     engine.set_sampler_config(SamplerConfig(
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,

@@ -334,6 +334,15 @@ class TtsEngine:
         plan = self._build_voice_prompt(text, voice, instruct)
         yield from self._stream_inference(plan)
 
+    def stream_long(self, text: str, voice: VoiceFile,
+                    instruct: Optional[str] = None,
+                    max_chars: int = 120) -> Iterator[np.ndarray]:
+        """Streaming long-text synthesis: sentence-chunk the text
+        (generate_long) but yield audio chunks continuously across
+        sentences."""
+        for piece in split_sentences(text, max_chars):
+            yield from self.generate_stream(piece, voice, instruct)
+
     @staticmethod
     def _safe_emb(emb: np.ndarray) -> np.ndarray:
         """Coerce a speaker embedding to the protocol width (2048): pad or

@@ -159,3 +159,23 @@ def test_malformed_speaker_embedding_is_coerced(tiny_engine):
     bad = VoiceFile.new("", [], np.ones(100, np.float32))  # wrong width
     audio = eng.generate_with_voice("short", bad)
     assert np.isfinite(audio.samples).all()
+
+
+def test_stream_long(tiny_engine):
+    from qwen3_tts_tpu.core.config import SamplerConfig as SC
+    eng = tiny_engine
+    eng.set_max_steps(3)
+    eng.set_sampler_config(SC(seed=9))
+    voice = eng.get_speaker("vivian")
+    chunks = list(eng.stream_long("One. Two.", voice))
+    spf = eng.config.codec_decoder.samples_per_frame
+    for c in chunks:
+        assert len(c) % spf == 0
+
+
+def test_decode_codes(tiny_engine):
+    codes = np.arange(48) % 8
+    audio = tiny_engine.decode_codes(codes)
+    spf = tiny_engine.config.codec_decoder.samples_per_frame
+    assert len(audio.samples) == 3 * spf
+    assert np.isfinite(audio.samples).all()
