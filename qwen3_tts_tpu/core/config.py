@@ -57,6 +57,7 @@ class TalkerConfig:
     max_seq_len: int = 4096
     dtype: str = "bfloat16"
     flash_decode: bool = True   # Pallas decode-attention kernel on TPU
+    layer_scan_unroll: int = 1  # 28 layers: keep the compact scan program
 
     @staticmethod
     def tiny() -> "TalkerConfig":
@@ -91,6 +92,11 @@ class PredictorConfig:
     # The per-frame cache is 17 slots; a chunked HBM-streaming kernel would
     # read more than XLA does, so the predictor keeps the fused XLA path.
     flash_decode: bool = False
+    # NOTE: unrolling the 6-layer scan speeds the predictor in isolation
+    # (4.1 -> 3.0 ms/frame) but regresses the big fused chunk program
+    # (single-stream RTF 0.090 -> 0.116 measured) — the inlined body blows
+    # up the fused program's scheduling.  Keep the compact scan.
+    layer_scan_unroll: int = 1
 
     @property
     def vocab_size(self) -> int:

@@ -140,7 +140,8 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
         return xx, (k_cache, v_cache)
 
     x, (new_k, new_v) = jax.lax.scan(
-        layer_fn, x, (params["layers"], cache.k, cache.v))
+        layer_fn, x, (params["layers"], cache.k, cache.v),
+        unroll=getattr(cfg, "layer_scan_unroll", 1))
     hidden = rms_norm(x, params["final_norm"], cfg.rms_eps)
     new_cache = cache.replace(k=new_k, v=new_v,
                               write_idx=start + jnp.int32(s))
