@@ -51,6 +51,22 @@ def convert_checkpoint(gguf_path, out_path, dtype=np.float32) -> None:
     np.savez(out_path, **tensors)
 
 
+def onnx_to_npz(onnx_path, out_path, list_only: bool = False):
+    """Dump an ONNX model's initializers to npz (via io.onnx_lite — no onnx
+    package needed) and print a shape summary.  First step of importing the
+    reference's codec/speaker weights: inspect with list_only, then write the
+    name map into convert_torch_codec/codec param layout."""
+    from .onnx_lite import read_onnx_initializers
+    tensors = read_onnx_initializers(onnx_path)
+    for name in sorted(tensors):
+        print(f"{name}\t{tensors[name].dtype}\t{tensors[name].shape}")
+    print(f"# {len(tensors)} initializers")
+    if not list_only:
+        np.savez(out_path, **tensors)
+        print(f"wrote {out_path}")
+    return tensors
+
+
 def convert_torch_codec(state_dict, name_map: Dict[str, str]):
     """Map a torch state_dict into a framework params pytree using an
     explicit old->new name table.  Values are converted to numpy; the caller
@@ -65,13 +81,18 @@ def convert_torch_codec(state_dict, name_map: Dict[str, str]):
 def main(argv=None) -> int:
     import argparse
     p = argparse.ArgumentParser(prog="qwen3_tts_tpu.io.convert")
-    p.add_argument("gguf", type=Path)
-    p.add_argument("out", type=Path)
+    p.add_argument("src", type=Path, help=".gguf or .onnx input")
+    p.add_argument("out", type=Path, nargs="?", default=Path("out.npz"))
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "float16"])
+    p.add_argument("--list", action="store_true",
+                   help="only list tensors (onnx input)")
     args = p.parse_args(argv)
-    convert_checkpoint(args.gguf, args.out, np.dtype(args.dtype))
-    print(f"wrote {args.out}")
+    if args.src.suffix == ".onnx":
+        onnx_to_npz(args.src, args.out, list_only=args.list)
+    else:
+        convert_checkpoint(args.src, args.out, np.dtype(args.dtype))
+        print(f"wrote {args.out}")
     return 0
 
 

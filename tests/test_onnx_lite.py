@@ -58,3 +58,16 @@ def test_read_initializers(tmp_path):
     np.testing.assert_array_equal(tensors["conv.weight"], w1)
     np.testing.assert_array_equal(tensors["codes"], w2)
     np.testing.assert_array_equal(tensors["half.bias"], w3)
+
+
+def test_onnx_to_npz(tmp_path, capsys):
+    from qwen3_tts_tpu.io.convert import onnx_to_npz
+    w = np.linspace(0, 1, 12, dtype=np.float32).reshape(3, 4)
+    model = _len_delim(7, _len_delim(5, _tensor("dec.weight", w)))
+    src = tmp_path / "m.onnx"
+    src.write_bytes(model)
+    out = tmp_path / "m.npz"
+    tensors = onnx_to_npz(src, out)
+    assert "dec.weight" in tensors
+    loaded = np.load(out)
+    np.testing.assert_array_equal(loaded["dec.weight"], w)
