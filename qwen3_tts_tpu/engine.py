@@ -210,7 +210,8 @@ class TtsEngine:
                                             max_steps=steps))
             self.generator = Generator(self.config, self.talker_params,
                                        self.predictor_params,
-                                       self.assets.pack())
+                                       self.assets.pack(),
+                                       codec_params=self.codec_decoder_params)
 
     def set_sampler_config(self, config: SamplerConfig) -> None:
         self.sampler_config = config

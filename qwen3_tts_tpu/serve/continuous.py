@@ -119,11 +119,12 @@ class ContinuousBatcher:
                 if req is None:
                     continue
                 k = int(valid_np[lane].sum())
+                hit_eos = k < n_chunk
+                budget = requests[req].max_frames or self.max_frames
+                k = min(k, budget - frames[req])
                 if k > 0:
                     wavs[req].append(wav_np[lane, : k * spf])
                     frames[req] += k
-                hit_eos = k < n_chunk
-                budget = requests[req].max_frames or self.max_frames
                 out_of_budget = frames[req] >= budget
                 if hit_eos or out_of_budget:
                     samples = (np.concatenate(wavs[req]) if wavs[req]

@@ -64,3 +64,23 @@ def test_continuous_batcher_completes_queue(tiny_engine):
         assert len(r.audio.samples) == r.frames * spf
         assert np.isfinite(r.audio.samples).all()
         assert r.frames <= 4
+
+
+def test_continuous_budget_clamp(tiny_engine):
+    """A stream must never emit more frames than its budget even when the
+    chunk that crosses the budget carries extra valid frames (round-1 bug:
+    k was appended unclamped, overshooting by up to frames_per_chunk-1)."""
+    eng = tiny_engine
+    eng.set_max_steps(8)
+    eng.set_sampler_config(SamplerConfig(seed=5))
+    voice = eng.get_speaker("vivian")
+    # budget 3 with frames_per_chunk 4 -> the first chunk crosses the
+    # budget mid-chunk; result must be at most 3 frames, not 4.
+    reqs = [BatchRequest("clamp test one", voice, max_frames=3),
+            BatchRequest("clamp test two", voice, max_frames=3)]
+    batcher = ContinuousBatcher(eng, batch_size=2, max_frames_per_stream=8)
+    results = batcher.run(reqs)
+    spf = eng.config.codec_decoder.samples_per_frame
+    for r in results:
+        assert r.frames <= 3
+        assert len(r.audio.samples) == r.frames * spf

@@ -179,3 +179,25 @@ def test_decode_codes(tiny_engine):
     spf = tiny_engine.config.codec_decoder.samples_per_frame
     assert len(audio.samples) == 3 * spf
     assert np.isfinite(audio.samples).all()
+
+
+def test_set_max_steps_above_compiled_budget(tiny_engine):
+    """Raising max_steps past runtime.max_steps rebuilds the Generator; the
+    rebuilt one must keep codec_params so audio synthesis still works
+    (round-1 regression: CLI --max-steps 1024 crashed every later synth)."""
+    from qwen3_tts_tpu.core.config import SamplerConfig as SC
+    eng = tiny_engine
+    old_budget = eng.config.runtime.max_steps
+    eng.set_max_steps(old_budget + 8)
+    assert eng.config.runtime.max_steps == old_budget + 8
+    assert eng.generator.codec_params is not None
+    eng.set_sampler_config(SC(seed=11))
+    voice = eng.get_speaker("vivian")
+    audio = eng.generate_with_voice("rebuild me", voice)
+    spf = eng.config.codec_decoder.samples_per_frame
+    assert len(audio.samples) % spf == 0
+    assert np.isfinite(audio.samples).all()
+    # streaming path too (uses chunk_with_audio directly)
+    chunks = list(eng.generate_stream("and stream", voice))
+    for c in chunks:
+        assert np.isfinite(c).all()
