@@ -105,6 +105,7 @@ class TtsEngine:
         # 1. Assets (embedding tables + projection).  Tables live in the
         # talker's compute dtype (bf16 in production: halves HBM traffic of
         # the gather-heavy feedback path).
+        self.dev_mode_components: list = []
         table_dtype = jnp.dtype(self.config.talker.dtype)
         try:
             self.assets = Assets.load(weights_dir, dtype=table_dtype)
@@ -112,6 +113,7 @@ class TtsEngine:
         except FileNotFoundError:
             self.assets = Assets.random_init(k_assets, dtype=table_dtype)
             self._random_weights = True
+            self.dev_mode_components.append("assets")
 
         # 2. Tokenizer.
         self.tokenizer = Tokenizer.load(self.model_dir)
@@ -128,6 +130,7 @@ class TtsEngine:
         else:
             self.talker_params = _jinit(talker_lib.init_talker_params,
                                         self.config.talker, k_talker)
+            self.dev_mode_components.append("talker")
         pred_path = weights_dir / "qwen3_tts_predictor.gguf"
         if pred_path.exists():
             self.config = self.config.replace(
@@ -139,20 +142,31 @@ class TtsEngine:
             self.predictor_params = _jinit(
                 predictor_lib.init_predictor_params, self.config.predictor,
                 k_pred)
+            self.dev_mode_components.append("predictor")
 
         # 4. Codec + speaker models (npz checkpoint if present, else random).
+        def _codec_fallback(tag, init_fn, cfg_obj, k):
+            def fb():
+                self.dev_mode_components.append(tag)
+                return _jinit(init_fn, cfg_obj, k)
+            return fb
+
         self.codec_decoder_params = self._load_npz_or(
             self.model_dir / "codec" / "decoder.npz",
-            lambda: _jinit(codec_decoder.init_decoder_params,
-                           self.config.codec_decoder, k_dec))
+            _codec_fallback("codec_decoder",
+                            codec_decoder.init_decoder_params,
+                            self.config.codec_decoder, k_dec))
         self.codec_encoder_params = self._load_npz_or(
             self.model_dir / "codec" / "encoder.npz",
-            lambda: _jinit(codec_encoder.init_encoder_params,
-                           self.config.codec_encoder, k_enc))
+            _codec_fallback("codec_encoder",
+                            codec_encoder.init_encoder_params,
+                            self.config.codec_encoder, k_enc))
         self.speaker_params = self._load_npz_or(
             self.model_dir / "codec" / "speaker.npz",
-            lambda: _jinit(speaker_lib.init_speaker_params,
-                           self.config.speaker_encoder, k_spk))
+            _codec_fallback("speaker_encoder",
+                            speaker_lib.init_speaker_params,
+                            self.config.speaker_encoder, k_spk))
+        self._warn_dev_mode()
 
         # 4.5 Optional int8 device weights for the LMs (memory-bound decode).
         use_int8 = self.config.int8_weights
@@ -517,6 +531,23 @@ class TtsEngine:
         while b < s and b < cap:
             b *= 2
         return min(max(b, 32), cap)
+
+    def _warn_dev_mode(self) -> None:
+        """Loudly flag components running on random weights: a production
+        install must never silently synthesize noise (round-1 ADVICE high).
+        QTTS_REQUIRE_WEIGHTS=1 turns the warning into a hard error."""
+        if not self.dev_mode_components:
+            return
+        import os
+        from .utils.logging import get_logger
+        comps = ", ".join(self.dev_mode_components)
+        msg = (f"DEV MODE: no trained weights found for [{comps}] under "
+               f"{self.model_dir} — synthesis will be NOISE, not speech. "
+               "Run download_models() or place the model files "
+               "(gguf/*.gguf, codec/*.npz or onnx/*.onnx) in the model dir.")
+        if os.environ.get("QTTS_REQUIRE_WEIGHTS") == "1":
+            raise RuntimeError(msg)
+        get_logger().warning(msg)
 
     @staticmethod
     def _load_npz_or(path: Path, fallback):

@@ -201,3 +201,28 @@ def test_set_max_steps_above_compiled_budget(tiny_engine):
     chunks = list(eng.generate_stream("and stream", voice))
     for c in chunks:
         assert np.isfinite(c).all()
+
+
+def test_dev_mode_is_loud(tmp_path, monkeypatch, tiny_cfg):
+    """Random-weight fallback must warn loudly, and QTTS_REQUIRE_WEIGHTS=1
+    must make it a hard error (round-1: silent noise synthesis)."""
+    import logging
+    from qwen3_tts_tpu.engine import TtsEngine
+
+    caplog_records = []
+    handler = logging.Handler()
+    handler.emit = lambda rec: caplog_records.append(rec.getMessage())
+    from qwen3_tts_tpu.utils.logging import get_logger
+    lg = get_logger()
+    lg.addHandler(handler)
+    try:
+        eng = TtsEngine(model_dir=tmp_path, config=tiny_cfg)
+    finally:
+        lg.removeHandler(handler)
+    assert set(eng.dev_mode_components) >= {
+        "assets", "talker", "predictor", "codec_decoder"}
+    assert any("DEV MODE" in m for m in caplog_records)
+
+    monkeypatch.setenv("QTTS_REQUIRE_WEIGHTS", "1")
+    with pytest.raises(RuntimeError, match="DEV MODE"):
+        TtsEngine(model_dir=tmp_path, config=tiny_cfg)
