@@ -166,6 +166,38 @@ class TtsEngine:
             _codec_fallback("speaker_encoder",
                             speaker_lib.init_speaker_params,
                             self.config.speaker_encoder, k_spk))
+
+        # 4.1 Published ONNX checkpoints: when no native npz import exists,
+        # execute the shipped graphs directly on TPU via io.onnx_exec —
+        # op-for-op fidelity with the reference's ORT sessions
+        # (onnx.rs:82-122, 140-163, 342-496).
+        self.onnx_decoder = None
+        self.onnx_encoder = None
+        self.onnx_speaker = None
+        onnx_dir = self.model_dir / "onnx"
+        try:
+            if "codec_decoder" in self.dev_mode_components and \
+                    (onnx_dir / "qwen3_tts_decoder.onnx").exists():
+                from .models.codec.onnx_decoder import OnnxStreamingDecoder
+                self.onnx_decoder = OnnxStreamingDecoder.load(
+                    onnx_dir / "qwen3_tts_decoder.onnx")
+                self.dev_mode_components.remove("codec_decoder")
+            if "codec_encoder" in self.dev_mode_components and \
+                    (onnx_dir / "qwen3_tts_codec_encoder.onnx").exists():
+                from .models.codec.onnx_decoder import OnnxAudioEncoder
+                self.onnx_encoder = OnnxAudioEncoder.load(
+                    onnx_dir / "qwen3_tts_codec_encoder.onnx")
+                self.dev_mode_components.remove("codec_encoder")
+            if "speaker_encoder" in self.dev_mode_components and \
+                    (onnx_dir / "qwen3_tts_speaker_encoder.onnx").exists():
+                from .models.codec.onnx_decoder import OnnxSpeakerEncoder
+                self.onnx_speaker = OnnxSpeakerEncoder.load(
+                    onnx_dir / "qwen3_tts_speaker_encoder.onnx")
+                self.dev_mode_components.remove("speaker_encoder")
+        except Exception as e:
+            from .utils.logging import get_logger
+            get_logger().warning(f"ONNX checkpoint load failed: {e!r} — "
+                                 "falling back to native/random weights")
         self._warn_dev_mode()
 
         # 4.5 Optional int8 device weights for the LMs (memory-bound decode).
@@ -290,6 +322,11 @@ class TtsEngine:
         `AudioDecoder` directly (onnx.rs:342-458).  Useful for auditioning a
         VoiceFile's reference codes."""
         codes = np.asarray(codes, np.int32).reshape(-1)
+        if self.onnx_decoder is not None:
+            wav, _ = self.onnx_decoder.decode(
+                codes, self.onnx_decoder.create_state(), is_final=True)
+            return AudioSample(samples=np.asarray(wav, np.float32),
+                               sample_rate=P.SAMPLE_RATE, channels=1)
         n = len(codes) // P.NUM_CODEBOOKS
         frames = codes[: n * P.NUM_CODEBOOKS].reshape(1, n, P.NUM_CODEBOOKS)
         dec_state = codec_decoder.init_decoder_state(
@@ -302,11 +339,19 @@ class TtsEngine:
     # ------------------------------------------------------- voice cloning
     def create_voice_file(self, audio_path, ref_text: str) -> VoiceFile:
         wav = load_reference_wav(audio_path)
-        codes = np.asarray(self._encode_wav(
-            self.codec_encoder_params, jnp.asarray(wav)[None]))[0]  # [N, 16]
-        emb = np.asarray(self._speaker_embed(
-            self.speaker_params, jnp.asarray(wav)))[0]              # [2048]
-        return VoiceFile.new(ref_text, codes.reshape(-1), emb)
+        if self.onnx_encoder is not None:
+            codes = self.onnx_encoder.encode(wav)                   # [N, 16]
+        else:
+            codes = np.asarray(self._encode_wav(
+                self.codec_encoder_params, jnp.asarray(wav)[None]))[0]
+        if self.onnx_speaker is not None:
+            from .ops.mel import log_mel
+            mels = np.asarray(log_mel(jnp.asarray(wav)))            # [F, 128]
+            emb = self.onnx_speaker.encode_mels(mels)               # [2048]
+        else:
+            emb = np.asarray(self._speaker_embed(
+                self.speaker_params, jnp.asarray(wav)))[0]
+        return VoiceFile.new(ref_text, np.asarray(codes).reshape(-1), emb)
 
     def _process_reference(self, audio_path) -> Tuple[np.ndarray, np.ndarray]:
         """Codes + speaker embedding with a `.cache` sidecar (engine.rs:275-302)."""
@@ -470,8 +515,12 @@ class TtsEngine:
             _hs(state.logits)
         tlog("prefill")
         sampler = SamplerParams.make(self.sampler_config)
-        dec_state = codec_decoder.init_decoder_state(
-            cfg.codec_decoder, self.codec_decoder_params, batch=1)
+        use_onnx = self.onnx_decoder is not None
+        if use_onnx:
+            dec_state = self.onnx_decoder.create_state()
+        else:
+            dec_state = codec_decoder.init_decoder_state(
+                cfg.codec_decoder, self.codec_decoder_params, batch=1)
         metrics.prefill_ms = watch.lap_ms()
 
         frames_emitted = 0
@@ -486,30 +535,50 @@ class TtsEngine:
                 n = min(n_chunk, self.max_steps - steps)
                 if steps == 0 and 0 < first_n < n:
                     n = first_n  # small first chunk: earlier first audio
-                state, dec_state, codes, valid, wav = \
-                    self.generator.chunk_with_audio(
-                        state, dec_state, sampler, prompt_cap=bucket,
-                        n_frames=n)
+                if use_onnx:
+                    # codes-only fused LM chunk; codec runs as its own XLA
+                    # program (the published graph) on the chunk boundary —
+                    # the lookahead below still overlaps LM chunk k+1 with
+                    # codec chunk k, like the reference's decoder thread
+                    # (engine.rs:487-543)
+                    state, codes, valid = self.generator.chunk(
+                        state, sampler, prompt_cap=bucket, n_frames=n)
+                    nxt = (codes, valid, n)
+                else:
+                    state, dec_state, codes, valid, wav = \
+                        self.generator.chunk_with_audio(
+                            state, dec_state, sampler, prompt_cap=bucket,
+                            n_frames=n)
+                    nxt = (wav, valid, n)
                 if trace and steps == 0:
                     from .utils.sync import hard_sync as _hs
-                    _hs(wav)
+                    _hs(nxt[0])
                     tlog("fused lm+codec chunk 0")
                 steps += n
-                nxt = (wav, valid, n)
             else:
                 nxt = None
 
             if pending is not None:
-                wav0, valid0, n0 = pending
+                data0, valid0, n0 = pending
                 valid_np = np.asarray(valid0[0])
                 n_valid = int(valid_np.sum())
                 metrics.chunk_ms.append(watch.lap_ms())
                 if n_valid > 0:
-                    chunk = np.asarray(wav0[0, : n_valid * spf], np.float32)
-                    if metrics.ttft_ms is None:
-                        metrics.ttft_ms = (time.perf_counter() - t_start) * 1000.0
-                    frames_emitted += n_valid
-                    yield chunk
+                    if use_onnx:
+                        is_final = (n_valid < n0) or (nxt is None)
+                        codes_np = np.asarray(data0[0, :n_valid])
+                        chunk, dec_state = self.onnx_decoder.decode(
+                            codes_np, dec_state, is_final=is_final)
+                        chunk = np.asarray(chunk, np.float32)
+                    else:
+                        chunk = np.asarray(data0[0, : n_valid * spf],
+                                           np.float32)
+                    if len(chunk):
+                        if metrics.ttft_ms is None:
+                            metrics.ttft_ms = (time.perf_counter()
+                                               - t_start) * 1000.0
+                        frames_emitted += n_valid
+                        yield chunk
                 if n_valid < n0:   # EOS inside this chunk: drop lookahead
                     metrics.eos = True
                     break

@@ -1,0 +1,252 @@
+"""Miniature streaming codec-decoder ONNX fixture.
+
+Replicates the reference decoder's state contract exactly
+(/root/reference/src/models/onnx.rs:342-496) at toy dimensions:
+  inputs   audio_codes [1,N,16] i64, is_last [1] f32,
+           pre_conv_history [1,DL,t], latent_buffer [1,DA,t],
+           conv_history [1,DC,t], past_key_i/past_value_i [1,H,t,dh]
+  outputs  final_wav, valid_samples, next_pre_conv_history,
+           next_latent_buffer, next_conv_history, next_key_i/next_value_i
+
+Dataflow: code embedding (Gather+ReduceSum over 16 books) -> causal conv
+(carried history) -> 2 causal self-attention layers (carried KV) -> two more
+causal convs (carried histories) -> ConvTranspose upsampler (kernel==stride).
+Every stage is strictly causal, so chunked decoding must equal full-sequence
+decoding — the invariance the real graph is built around.
+
+`mini_decoder_reference(codes)` is an independent numpy implementation used
+as ground truth.
+"""
+
+import numpy as np
+
+from qwen3_tts_tpu.io.onnx_lite import (OnnxGraph, OnnxNode, TensorInfo,
+                                        write_onnx)
+
+# toy dims
+DL, DA, DC = 8, 8, 6      # embed/pre-conv ch, attn dim, post-conv ch
+H, DH = 2, 4              # heads x head_dim == DA
+K0, K1, K2 = 3, 3, 2      # conv kernel sizes
+SPF = 5                   # upsample factor (samples per frame)
+NB = 16                   # codebooks per frame
+VOCAB = 32                # toy codebook size (codes are clamped by wrapper)
+LAYERS = 2
+
+
+def _weights(seed=0):
+    rng = np.random.default_rng(seed)
+    w = {
+        "table": rng.standard_normal((VOCAB, DL)).astype(np.float32) * 0.3,
+        "w0": rng.standard_normal((DA, DL, K0)).astype(np.float32) * 0.3,
+        "w1": rng.standard_normal((DC, DA, K1)).astype(np.float32) * 0.3,
+        "w2": rng.standard_normal((DC, DC, K2)).astype(np.float32) * 0.3,
+        "wup": rng.standard_normal((DC, 1, SPF)).astype(np.float32) * 0.3,
+    }
+    for l in range(LAYERS):
+        for nm in ("wq", "wk", "wv", "wo"):
+            w[f"{nm}{l}"] = rng.standard_normal((DA, DA)).astype(
+                np.float32) * (0.3 / np.sqrt(DA))
+    return w
+
+
+def _causal_conv_nodes(nodes, inits, x, hist, w_name, kname, out, tag):
+    """cat = concat(hist, x); padded = pad-left(K-1); take last K-1+N;
+    conv VALID; next_hist = last K-1 of cat.  All shape math via Shape ops
+    so the executor's host folding is exercised."""
+    K = {"w0": K0, "w1": K1, "w2": K2}[w_name]
+    imax = np.iinfo(np.int64).max
+    inits[f"pads_{tag}"] = np.array([0, 0, K - 1, 0, 0, 0], np.int64)
+    inits[f"histstart_{tag}"] = np.array([-(K - 1)], np.int64)
+    inits[f"imax_{tag}"] = np.array([imax], np.int64)
+    inits[f"ax2_{tag}"] = np.array([2], np.int64)
+    inits[f"i2_{tag}"] = np.array(2, np.int64)
+    inits[f"km1_{tag}"] = np.array([K - 1], np.int64)
+    nodes += [
+        OnnxNode("Concat", [hist, x], [f"cat_{tag}"], attrs={"axis": 2}),
+        OnnxNode("Pad", [f"cat_{tag}", f"pads_{tag}"], [f"padded_{tag}"],
+                 attrs={"mode": "constant"}),
+        # window = last (K-1+N) of padded, N read off Shape(x)
+        OnnxNode("Shape", [x], [f"xs_{tag}"]),
+        OnnxNode("Gather", [f"xs_{tag}", f"i2_{tag}"], [f"n_{tag}"],
+                 attrs={"axis": 0}),
+        OnnxNode("Unsqueeze", [f"n_{tag}", "zero_ax"], [f"n1_{tag}"]),
+        OnnxNode("Add", [f"n1_{tag}", f"km1_{tag}"], [f"wlen_{tag}"]),
+        OnnxNode("Neg", [f"wlen_{tag}"], [f"wstart_{tag}"]),
+        OnnxNode("Slice", [f"padded_{tag}", f"wstart_{tag}", f"imax_{tag}",
+                           f"ax2_{tag}"], [f"win_{tag}"]),
+        OnnxNode("Conv", [f"win_{tag}", w_name], [out],
+                 attrs={"kernel_shape": [K]}),
+        OnnxNode("Slice", [f"cat_{tag}", f"histstart_{tag}", f"imax_{tag}",
+                           f"ax2_{tag}"], [f"next_hist_{tag}"]),
+    ]
+    return f"next_hist_{tag}"
+
+
+def _attn_nodes(nodes, inits, x, layer):
+    """Causal self-attention with carried KV (x: [1,N,DA])."""
+    l = layer
+    imax = np.iinfo(np.int64).max
+    inits[f"hshape_{l}"] = np.array([1, -1, H, DH], np.int64)
+    inits[f"fshape_{l}"] = np.array([1, -1, DA], np.int64)
+    inits["scale"] = np.array(1.0 / np.sqrt(DH), np.float32)
+    inits["neg_big"] = np.array(-1e9, np.float32)
+    inits[f"i2a_{l}"] = np.array(2, np.int64)
+    nodes += [
+        OnnxNode("MatMul", [x, f"wq{l}"], [f"q_{l}"]),
+        OnnxNode("MatMul", [x, f"wk{l}"], [f"k_{l}"]),
+        OnnxNode("MatMul", [x, f"wv{l}"], [f"v_{l}"]),
+        OnnxNode("Reshape", [f"q_{l}", f"hshape_{l}"], [f"q4_{l}"]),
+        OnnxNode("Reshape", [f"k_{l}", f"hshape_{l}"], [f"k4_{l}"]),
+        OnnxNode("Reshape", [f"v_{l}", f"hshape_{l}"], [f"v4_{l}"]),
+        OnnxNode("Transpose", [f"q4_{l}"], [f"qt_{l}"],
+                 attrs={"perm": [0, 2, 1, 3]}),
+        OnnxNode("Transpose", [f"k4_{l}"], [f"kt_{l}"],
+                 attrs={"perm": [0, 2, 1, 3]}),
+        OnnxNode("Transpose", [f"v4_{l}"], [f"vt_{l}"],
+                 attrs={"perm": [0, 2, 1, 3]}),
+        OnnxNode("Concat", [f"past_key_{l}", f"kt_{l}"], [f"next_key_{l}"],
+                 attrs={"axis": 2}),
+        OnnxNode("Concat", [f"past_value_{l}", f"vt_{l}"],
+                 [f"next_value_{l}"], attrs={"axis": 2}),
+        OnnxNode("Transpose", [f"next_key_{l}"], [f"ktt_{l}"],
+                 attrs={"perm": [0, 1, 3, 2]}),
+        OnnxNode("MatMul", [f"qt_{l}", f"ktt_{l}"], [f"sc_{l}"]),
+        OnnxNode("Mul", [f"sc_{l}", "scale"], [f"scs_{l}"]),
+        # causal mask: key_pos <= t_past + query_pos  (all host-folded)
+        OnnxNode("Shape", [f"next_key_{l}"], [f"nks_{l}"]),
+        OnnxNode("Gather", [f"nks_{l}", f"i2a_{l}"], [f"t2_{l}"],
+                 attrs={"axis": 0}),
+        OnnxNode("Shape", [x], [f"xs_a{l}"]),
+        OnnxNode("Gather", [f"xs_a{l}", "one_s"], [f"n_a{l}"],
+                 attrs={"axis": 0}),
+        OnnxNode("Sub", [f"t2_{l}", f"n_a{l}"], [f"tpast_{l}"]),
+        OnnxNode("Range", ["zero_s", f"t2_{l}", "one_s"], [f"kpos_{l}"]),
+        OnnxNode("Range", ["zero_s", f"n_a{l}", "one_s"], [f"qpos0_{l}"]),
+        OnnxNode("Add", [f"qpos0_{l}", f"tpast_{l}"], [f"qpos_{l}"]),
+        OnnxNode("Unsqueeze", [f"qpos_{l}", "one_ax"], [f"qpe_{l}"]),
+        OnnxNode("Unsqueeze", [f"kpos_{l}", "zero_ax"], [f"kpe_{l}"]),
+        OnnxNode("LessOrEqual", [f"kpe_{l}", f"qpe_{l}"], [f"mask_{l}"]),
+        OnnxNode("Where", [f"mask_{l}", f"scs_{l}", "neg_big"],
+                 [f"scm_{l}"]),
+        OnnxNode("Softmax", [f"scm_{l}"], [f"pr_{l}"], attrs={"axis": -1}),
+        OnnxNode("MatMul", [f"pr_{l}", f"next_value_{l}"], [f"ctx_{l}"]),
+        OnnxNode("Transpose", [f"ctx_{l}"], [f"ctxt_{l}"],
+                 attrs={"perm": [0, 2, 1, 3]}),
+        OnnxNode("Reshape", [f"ctxt_{l}", f"fshape_{l}"], [f"ctxf_{l}"]),
+        OnnxNode("MatMul", [f"ctxf_{l}", f"wo{l}"], [f"attno_{l}"]),
+        OnnxNode("Add", [x, f"attno_{l}"], [f"y_{l}"]),
+    ]
+    return f"y_{l}"
+
+
+def build_mini_decoder(seed=0, path=None):
+    """Serialize the mini decoder; returns (onnx_bytes, weights)."""
+    w = _weights(seed)
+    nodes = []
+    inits = dict(w)
+    inits["zero_ax"] = np.array([0], np.int64)
+    inits["one_ax"] = np.array([1], np.int64)
+    inits["zero_s"] = np.array(0, np.int64)
+    inits["one_s"] = np.array(1, np.int64)
+
+    # 1. embed: Gather over the summed 16 codebooks
+    nodes += [
+        OnnxNode("Gather", ["table", "audio_codes"], ["emb4"],
+                 attrs={"axis": 0}),                      # [1,N,16,DL]
+        OnnxNode("ReduceSum", ["emb4"], ["emb"],
+                 attrs={"axes": [2], "keepdims": 0}),     # [1,N,DL]
+        OnnxNode("Transpose", ["emb"], ["lat"],
+                 attrs={"perm": [0, 2, 1]}),              # [1,DL,N]
+    ]
+    # 2. pre conv (carried pre_conv_history)
+    nh0 = _causal_conv_nodes(nodes, inits, "lat", "pre_conv_history",
+                             "w0", K0, "a0", "pre")
+    nodes += [OnnxNode("Identity", [nh0], ["next_pre_conv_history"]),
+              OnnxNode("Transpose", ["a0"], ["x_attn"],
+                       attrs={"perm": [0, 2, 1]})]        # [1,N,DA]
+    # 3. attention layers (carried KV)
+    y = "x_attn"
+    for l in range(LAYERS):
+        y = _attn_nodes(nodes, inits, y, l)
+    nodes += [OnnxNode("Transpose", [y], ["lat2"],
+                       attrs={"perm": [0, 2, 1]})]        # [1,DA,N]
+    # 4. mid conv (carried latent_buffer)
+    nh1 = _causal_conv_nodes(nodes, inits, "lat2", "latent_buffer",
+                             "w1", K1, "b1", "mid")
+    nodes += [OnnxNode("Identity", [nh1], ["next_latent_buffer"])]
+    # 5. post conv + tanh (carried conv_history)
+    nh2 = _causal_conv_nodes(nodes, inits, "b1", "conv_history",
+                             "w2", K2, "b2r", "post")
+    nodes += [OnnxNode("Identity", [nh2], ["next_conv_history"]),
+              OnnxNode("Tanh", ["b2r"], ["b2"])]
+    # 6. upsample + flatten + valid_samples
+    nodes += [
+        OnnxNode("ConvTranspose", ["b2", "wup"], ["up"],
+                 attrs={"strides": [SPF], "kernel_shape": [SPF]}),
+        OnnxNode("Reshape", ["up", "flatshape"], ["final_wav"]),
+        OnnxNode("Shape", ["final_wav"], ["valid_samples"]),
+    ]
+    inits["flatshape"] = np.array([-1], np.int64)
+
+    inputs = [
+        TensorInfo("audio_codes", np.int64, (1, "N", NB)),
+        TensorInfo("is_last", np.float32, (1,)),
+        TensorInfo("pre_conv_history", np.float32, (1, DL, "t0")),
+        TensorInfo("latent_buffer", np.float32, (1, DA, "t1")),
+        TensorInfo("conv_history", np.float32, (1, DC, "t2")),
+    ]
+    outputs = [
+        TensorInfo("final_wav", np.float32, ("S",)),
+        TensorInfo("valid_samples", np.int64, (1,)),
+        TensorInfo("next_pre_conv_history", np.float32, (1, DL, "u0")),
+        TensorInfo("next_latent_buffer", np.float32, (1, DA, "u1")),
+        TensorInfo("next_conv_history", np.float32, (1, DC, "u2")),
+    ]
+    for l in range(LAYERS):
+        inputs += [TensorInfo(f"past_key_{l}", np.float32, (1, H, "p", DH)),
+                   TensorInfo(f"past_value_{l}", np.float32,
+                              (1, H, "p", DH))]
+        outputs += [TensorInfo(f"next_key_{l}", np.float32, (1, H, "q", DH)),
+                    TensorInfo(f"next_value_{l}", np.float32,
+                               (1, H, "q", DH))]
+
+    g = OnnxGraph(nodes=nodes, initializers=inits, inputs=inputs,
+                  outputs=outputs, opset=17, name="mini_codec_decoder")
+    return write_onnx(g, path), w
+
+
+def mini_decoder_reference(codes: np.ndarray, seed=0) -> np.ndarray:
+    """Independent numpy ground truth: full-sequence, causal."""
+    w = _weights(seed)
+    codes = np.asarray(codes, np.int64).reshape(-1, NB)
+    codes = np.clip(codes, 0, VOCAB - 1)
+    n = codes.shape[0]
+    emb = w["table"][codes].sum(1)                         # [N, DL]
+
+    def causal_conv(x, k):                                 # x [T,Cin]
+        K = k.shape[2]
+        xp = np.concatenate([np.zeros((K - 1, x.shape[1]), x.dtype), x], 0)
+        out = np.zeros((x.shape[0], k.shape[0]), np.float32)
+        for t in range(x.shape[0]):
+            win = xp[t: t + K]                             # [K, Cin]
+            out[t] = np.einsum("kc,ock->o", win, k)
+        return out
+
+    a0 = causal_conv(emb, w["w0"])                         # [N, DA]
+    y = a0
+    for l in range(LAYERS):
+        q = (y @ w[f"wq{l}"]).reshape(n, H, DH).transpose(1, 0, 2)
+        k = (y @ w[f"wk{l}"]).reshape(n, H, DH).transpose(1, 0, 2)
+        v = (y @ w[f"wv{l}"]).reshape(n, H, DH).transpose(1, 0, 2)
+        sc = q @ k.transpose(0, 2, 1) / np.sqrt(DH)        # [H,N,N]
+        mask = np.tril(np.ones((n, n), bool))
+        sc = np.where(mask, sc, -1e9)
+        pr = np.exp(sc - sc.max(-1, keepdims=True))
+        pr = pr / pr.sum(-1, keepdims=True)
+        ctx = (pr @ v).transpose(1, 0, 2).reshape(n, DA)
+        y = y + ctx @ w[f"wo{l}"]
+    b1 = causal_conv(y, w["w1"])                           # [N, DC]
+    b2 = np.tanh(causal_conv(b1, w["w2"]))                 # [N, DC]
+    # conv-transpose kernel==stride: each frame yields SPF samples
+    wav = np.einsum("nc,cs->ns", b2, w["wup"][:, 0, :])    # [N, SPF]
+    return wav.reshape(-1).astype(np.float32)

@@ -1,0 +1,131 @@
+"""OnnxStreamingDecoder driven against a miniature graph that replicates the
+reference decoder's exact state contract (onnx.rs:342-496): carried conv
+histories + KV pairs that grow from zero-length, final_wav + valid_samples
+outputs, chunked == full invariance."""
+
+import numpy as np
+import pytest
+
+from qwen3_tts_tpu.io.onnx_exec import OnnxExecutor
+from qwen3_tts_tpu.io.onnx_lite import read_onnx_graph
+from qwen3_tts_tpu.models.codec.onnx_decoder import OnnxStreamingDecoder
+
+from fixtures_onnx import (NB, SPF, DL, DA, DC, H, DH, K0, K1, K2, LAYERS,
+                           build_mini_decoder, mini_decoder_reference)
+
+
+@pytest.fixture(scope="module")
+def mini_decoder():
+    data, _ = build_mini_decoder(seed=0)
+    return OnnxStreamingDecoder(OnnxExecutor(read_onnx_graph(data)))
+
+
+def _codes(n, seed=1):
+    return np.random.default_rng(seed).integers(0, 20, size=(n, NB))
+
+
+def test_state_contract(mini_decoder):
+    st = mini_decoder.create_state()
+    assert st["pre_conv_history"].shape == (1, DL, 0)
+    assert st["latent_buffer"].shape == (1, DA, 0)
+    assert st["conv_history"].shape == (1, DC, 0)
+    for l in range(LAYERS):
+        assert st[f"past_key_{l}"].shape == (1, H, 0, DH)
+        assert st[f"past_value_{l}"].shape == (1, H, 0, DH)
+
+
+def test_full_decode_matches_numpy_reference(mini_decoder):
+    codes = _codes(6)
+    wav, st = mini_decoder.decode(codes, mini_decoder.create_state())
+    want = mini_decoder_reference(codes)
+    assert wav.shape == (6 * SPF,)
+    np.testing.assert_allclose(wav, want, rtol=1e-4, atol=1e-5)
+    # state grew: conv histories at K-1, KV at N
+    assert np.asarray(st["pre_conv_history"]).shape == (1, DL, K0 - 1)
+    assert np.asarray(st["latent_buffer"]).shape == (1, DA, K1 - 1)
+    assert np.asarray(st["conv_history"]).shape == (1, DC, K2 - 1)
+    for l in range(LAYERS):
+        assert np.asarray(st[f"past_key_{l}"]).shape == (1, H, 6, DH)
+
+
+def test_chunked_equals_full(mini_decoder):
+    codes = _codes(8, seed=2)
+    full, _ = mini_decoder.decode(codes, mini_decoder.create_state())
+    st = mini_decoder.create_state()
+    parts = []
+    for lo in range(0, 8, 2):
+        wav, st = mini_decoder.decode(codes[lo:lo + 2], st,
+                                      is_final=(lo == 6))
+        assert wav.shape == (2 * SPF,)
+        parts.append(wav)
+    np.testing.assert_allclose(np.concatenate(parts), full,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flat_codes_truncated_and_clamped(mini_decoder):
+    # 35 flat codes -> 2 frames (truncate to 16-multiple, engine.rs:509);
+    # out-of-range codes are clamped not crashed (engine.rs:513)
+    flat = np.full(35, 99999, np.int64)
+    wav, _ = mini_decoder.decode(flat, mini_decoder.create_state())
+    assert wav.shape == (2 * SPF,)
+    assert np.isfinite(wav).all()
+    wav0, _ = mini_decoder.decode(np.zeros(15, np.int64),
+                                  mini_decoder.create_state())
+    assert wav0.shape == (0,)
+
+
+def test_valid_samples_respected(mini_decoder):
+    codes = _codes(3, seed=3)
+    wav, _ = mini_decoder.decode(codes, mini_decoder.create_state())
+    assert len(wav) == 3 * SPF        # wrapper trusts valid_samples
+
+
+@pytest.fixture(scope="module")
+def onnx_engine(tmp_path_factory):
+    """Tiny engine with the mini ONNX decoder installed as the real-weights
+    codec path (models/onnx/qwen3_tts_decoder.onnx)."""
+    from qwen3_tts_tpu.core.config import EngineConfig
+    from qwen3_tts_tpu.engine import TtsEngine
+    from qwen3_tts_tpu.io.voice_file import VoiceFile
+
+    model_dir = tmp_path_factory.mktemp("onnx_model")
+    (model_dir / "onnx").mkdir()
+    build_mini_decoder(seed=0, path=model_dir / "onnx" /
+                       "qwen3_tts_decoder.onnx")
+    spk = model_dir / "preset_speakers"
+    spk.mkdir()
+    rng = np.random.default_rng(0)
+    vf = VoiceFile.new("", [], rng.standard_normal(2048).astype(np.float32)
+                       * 0.02)
+    vf.save(spk / "vivian.json")
+    return TtsEngine(model_dir=model_dir, config=EngineConfig.tiny())
+
+
+def test_engine_uses_onnx_decoder(onnx_engine):
+    eng = onnx_engine
+    assert eng.onnx_decoder is not None
+    assert "codec_decoder" not in eng.dev_mode_components
+
+
+def test_engine_decode_codes_matches_reference_impl(onnx_engine):
+    codes = _codes(5, seed=7)
+    audio = onnx_engine.decode_codes(codes)
+    want = mini_decoder_reference(codes)
+    np.testing.assert_allclose(audio.samples, want, rtol=1e-4, atol=1e-5)
+
+
+def test_engine_generates_through_onnx_path(onnx_engine):
+    from qwen3_tts_tpu.core.config import SamplerConfig
+    eng = onnx_engine
+    eng.set_max_steps(6)
+    eng.set_sampler_config(SamplerConfig(seed=3))
+    voice = eng.get_speaker("vivian")
+    audio = eng.generate_with_voice("onnx path", voice)
+    assert np.isfinite(audio.samples).all()
+    assert len(audio.samples) % SPF == 0
+    # streaming must agree with batch through the same ONNX decoder
+    eng.set_sampler_config(SamplerConfig(seed=3))
+    chunks = list(eng.generate_stream("onnx path", voice))
+    streamed = (np.concatenate(chunks) if chunks
+                else np.zeros(0, np.float32))
+    np.testing.assert_allclose(streamed, audio.samples, atol=1e-5)
