@@ -8,7 +8,7 @@ from .core.config import (CodecDecoderConfig, CodecEncoderConfig,
                           EngineConfig, PredictorConfig, RuntimeConfig,
                           SamplerConfig, SpeakerEncoderConfig, TalkerConfig)
 from .core import protocol
-from .engine import TtsEngine
+from .engine import PromptTooLongError, TtsEngine
 from .io.audio import AudioSample
 from .io.voice_file import VoiceFile
 from .prompt import PromptBuilder, PromptData
@@ -21,4 +21,5 @@ __all__ = [
     "AudioSample", "Tokenizer", "VoiceFile", "EngineConfig", "TalkerConfig",
     "PredictorConfig", "CodecDecoderConfig", "CodecEncoderConfig",
     "SpeakerEncoderConfig", "RuntimeConfig", "protocol",
+    "PromptTooLongError",
 ]

@@ -206,7 +206,10 @@ class RuntimeConfig:
     # Streaming emits a smaller first chunk to cut TTFT (~83 ms of audio per
     # frame); 0 disables the fast first chunk.
     first_chunk_frames: int = 2
-    max_prompt_len: int = 1024           # static prefill capacity (padded)
+    # Static prefill capacity (padded).  Matches the reference talker's
+    # n_ctx=4096 (engine.rs:133): a ~30 s clone reference (~360 frame rows)
+    # plus instruction + task text fits without truncation.
+    max_prompt_len: int = 4096
     batch_size: int = 1                  # concurrent streams per device group
     mesh_shape: Tuple[int, ...] = (1,)   # (data,) or (data, model)
     mesh_axes: Tuple[str, ...] = ("data",)

@@ -70,6 +70,12 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+class PromptTooLongError(ValueError):
+    """Prompt exceeds the static prefill capacity.  Raised instead of the
+    silent tail-truncation of round 1 (which dropped the task text and the
+    final activation marker, yielding garbage generation)."""
+
+
 class TtsEngine:
     """Owns models, assets, tokenizer, speaker cache and compiled programs."""
 
@@ -441,10 +447,17 @@ class TtsEngine:
             plans = [plans]
         max_len = max(p.length for p in plans)
         bucket = bucket or self._bucket(max_len)
+        if max_len > bucket:
+            raise PromptTooLongError(
+                f"prompt is {max_len} rows but capacity is {bucket} "
+                f"(max_prompt_len={self.config.runtime.max_prompt_len}). "
+                "Shorten the text or reference audio, use generate_long/"
+                "stream_long for long text, or raise "
+                "RuntimeConfig.max_prompt_len.")
         f_need = max(p.frames.shape[0] for p in plans)
         f_cap = 1 if f_need <= 1 else ((f_need + 63) // 64) * 64
         padded = [p.padded(bucket, f_cap) for p in plans]
-        lengths = np.asarray([min(p.length, bucket) for p in plans], np.int32)
+        lengths = np.asarray([p.length for p in plans], np.int32)
         embeds = self._assemble(
             self.assets.text_table, self.assets.codec_tables,
             np.stack([p.text_idx for p in padded]),

@@ -9,7 +9,9 @@ work per loop iteration keeps submit latency bounded at ~1 chunk (~333 ms of
 audio time, a few tens of ms wall).
 
 Design constraints inherited from the static-shape batch model:
-  * one prompt bucket per scheduler (prompts longer than `bucket` truncate);
+  * one prompt bucket per scheduler; a prompt longer than `bucket` fails
+    that request's future with PromptTooLongError (the scheduler keeps
+    serving — no silent truncation, no drain);
   * `batch_size` lanes; a request occupies one lane until EOS or its frame
     budget; per-lane KV cursors (models.transformer.KVCache) make refills
     free.
@@ -106,27 +108,36 @@ class OnlineBatcher:
                     break
                 if fut.cancelled():
                     continue
-                plan = eng._build_voice_prompt(req.text, req.voice,
-                                               req.instruct)
-                if state is None:
-                    # Cold start: build the state with this first request.
-                    embeds, lens = eng.prompt_to_device(
-                        [plan] * b, self.bucket)
-                    seed = eng.sampler_config.seed
-                    if seed is None:
-                        seed = time.time_ns() & 0x7FFFFFFFFFFFFFFF
-                    state = eng.generator.start(
-                        embeds, jnp.asarray(lens), jax.random.PRNGKey(seed))
-                    done0 = np.ones(b, bool)
-                    done0[lane] = False
-                    state = state.replace(done=jnp.asarray(done0))
-                    dec_state = codec_decoder.init_decoder_state(
-                        cfg.codec_decoder, eng.codec_decoder_params, batch=b)
-                else:
-                    embeds, _ = eng.prompt_to_device(plan, self.bucket)
-                    state = eng.generator.refill_lane(
-                        state, embeds[0], min(plan.length, self.bucket), lane)
-                    refill_mask[lane] = True
+                try:
+                    plan = eng._build_voice_prompt(req.text, req.voice,
+                                                   req.instruct)
+                    if state is None:
+                        # Cold start: build the state with this first request.
+                        embeds, lens = eng.prompt_to_device(
+                            [plan] * b, self.bucket)
+                        seed = eng.sampler_config.seed
+                        if seed is None:
+                            seed = time.time_ns() & 0x7FFFFFFFFFFFFFFF
+                        state = eng.generator.start(
+                            embeds, jnp.asarray(lens),
+                            jax.random.PRNGKey(seed))
+                        done0 = np.ones(b, bool)
+                        done0[lane] = False
+                        state = state.replace(done=jnp.asarray(done0))
+                        dec_state = codec_decoder.init_decoder_state(
+                            cfg.codec_decoder, eng.codec_decoder_params,
+                            batch=b)
+                    else:
+                        embeds, _ = eng.prompt_to_device(plan, self.bucket)
+                        state = eng.generator.refill_lane(
+                            state, embeds[0], plan.length, lane)
+                        refill_mask[lane] = True
+                except Exception as e:
+                    # Per-request isolation: an oversized or malformed
+                    # prompt fails its own future, never the scheduler.
+                    if not fut.cancelled():
+                        fut.set_exception(e)
+                    continue
                 lane_fut[lane] = fut
                 lane_req[lane] = req
                 lane_wavs[lane] = []

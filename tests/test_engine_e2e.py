@@ -138,16 +138,41 @@ def test_warmup(tiny_engine):
     tiny_engine.warmup(buckets=(32,), batch_sizes=(1,))  # compiles; no error
 
 
-def test_prompt_longer_than_bucket_truncates(tiny_engine):
-    """Prompts beyond max_prompt_len are truncated, not crashed."""
+def test_prompt_longer_than_bucket_raises(tiny_engine):
+    """Prompts beyond max_prompt_len fail loudly — silent tail-truncation
+    dropped the task text + activation marker (round-1 ADVICE medium)."""
+    from qwen3_tts_tpu import PromptTooLongError
     eng = tiny_engine
     eng.set_max_steps(2)
     from qwen3_tts_tpu.core.config import SamplerConfig as SC
     eng.set_sampler_config(SC(seed=1))
     voice = eng.get_speaker("vivian")
     long_text = "x" * (eng.config.runtime.max_prompt_len * 2)
-    audio = eng.generate_with_voice(long_text, voice)
+    with pytest.raises(PromptTooLongError, match="generate_long"):
+        eng.generate_with_voice(long_text, voice)
+    # generate_long is the documented path for long plain text
+    audio = eng.generate_long("One. Two. Three.", voice)
     assert np.isfinite(audio.samples).all()
+
+
+def test_long_clone_reference_fits_or_raises(tiny_engine):
+    """A multi-hundred-frame clone reference (~30 s of ref audio, like the
+    reference's 4096-ctx sizing, engine.rs:133) must either fit the bucket
+    or raise PromptTooLongError — never silently truncate."""
+    from qwen3_tts_tpu import PromptTooLongError
+    from qwen3_tts_tpu.io.voice_file import VoiceFile
+    eng = tiny_engine
+    eng.set_max_steps(2)
+    rng = np.random.default_rng(1)
+    # 360 frames x 16 codes — way past the tiny 64-row bucket
+    codes = rng.integers(0, 8, size=360 * 16)
+    vf = VoiceFile.new("reference transcript", codes,
+                       rng.standard_normal(2048).astype(np.float32) * 0.02)
+    with pytest.raises(PromptTooLongError, match="capacity"):
+        eng.generate_with_voice("clone me", vf)
+    # the production config holds the reference's full 4096 rows
+    from qwen3_tts_tpu.core.config import RuntimeConfig
+    assert RuntimeConfig().max_prompt_len == 4096
 
 
 def test_malformed_speaker_embedding_is_coerced(tiny_engine):

@@ -71,3 +71,16 @@ def test_stop_fails_pending(tiny_engine):
     f1.result(timeout=300)
     ob.stop()
     assert not ob._thread.is_alive()
+
+
+def test_oversized_prompt_fails_future_not_scheduler(batcher, tiny_engine):
+    """An over-bucket prompt fails its own future with PromptTooLongError;
+    the scheduler keeps serving later requests (per-request isolation)."""
+    from qwen3_tts_tpu import PromptTooLongError
+    voice = tiny_engine.get_speaker("vivian")
+    f_bad = batcher.submit(BatchRequest("y" * 500, voice, max_frames=2))
+    f_ok = batcher.submit(BatchRequest("short", voice, max_frames=2))
+    with pytest.raises(PromptTooLongError):
+        f_bad.result(timeout=300)
+    r = f_ok.result(timeout=300)
+    assert np.isfinite(r.audio.samples).all()
