@@ -48,9 +48,13 @@ class TalkerConfig:
     rms_eps: float = 1e-6
     rope_theta: float = 1_000_000.0
     # M-RoPE frequency sections (in half-dims, summing to head_dim // 2) for
-    # the 4 position rows (temporal, height, width, channel).  The reference
-    # feeds T=H=W=arange and channel=0 (engine.rs:306-314) so any section
-    # split collapses to standard RoPE for the first three rows.
+    # the 4 position rows (temporal, height, width, channel), laid out as
+    # CONTIGUOUS blocks like llama.cpp's GGML mrope (llama/mod.rs:567-581).
+    # Overridden by `qwen3.rope.mrope_section` GGUF metadata when a real
+    # checkpoint is loaded (io/weights.py:config_from_gguf).  The reference
+    # feeds T=H=W=arange and channel=0 (engine.rs:306-314), so with a zero
+    # channel section ANY split is numerically identical to standard RoPE —
+    # tested in tests/test_ops.py.
     mrope_sections: Tuple[int, int, int, int] = (24, 20, 20, 0)
     qk_norm: bool = True
     n_codec_logits: int = P.CODE_SAMPLING_LIMIT  # LM-head rows kept: [0, 2160)

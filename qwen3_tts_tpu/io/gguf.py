@@ -373,6 +373,23 @@ def write_gguf(path, tensors: Dict[str, np.ndarray],
             elif isinstance(v, str):
                 f.write(struct.pack("<I", T_STRING))
                 wstr(v)
+            elif isinstance(v, (list, tuple)):
+                f.write(struct.pack("<I", T_ARRAY))
+                if all(isinstance(e, (int, np.integer)) for e in v):
+                    f.write(struct.pack("<I", T_INT64))
+                    f.write(struct.pack("<Q", len(v)))
+                    for e in v:
+                        f.write(struct.pack("<q", int(e)))
+                elif all(isinstance(e, str) for e in v):
+                    f.write(struct.pack("<I", T_STRING))
+                    f.write(struct.pack("<Q", len(v)))
+                    for e in v:
+                        wstr(e)
+                else:
+                    f.write(struct.pack("<I", T_FLOAT32))
+                    f.write(struct.pack("<Q", len(v)))
+                    for e in v:
+                        f.write(struct.pack("<f", float(e)))
             else:
                 raise TypeError(f"unsupported metadata type for {k}: {type(v)}")
 

@@ -119,3 +119,37 @@ def test_speaker_embedding():
     emb = spk.speaker_embed(cfg, params, wav)
     assert emb.shape == (1, cfg.emb_dim)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(emb)), 1.0, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_production_size_decoder_window_invariance():
+    """Round-1 gap: window-boundary behavior was only ever tested on the
+    tiny config.  Run the PRODUCTION-size decoder (d_model 1024, 8 layers,
+    attn_window 128) past its window and assert two different chunkings
+    agree (VERDICT r1 item 8)."""
+    import dataclasses
+    # full size; f32 so chunking-logic errors aren't masked by (or mistaken
+    # for) bf16 accumulation noise — the window math is dtype-independent
+    cfg = dataclasses.replace(CodecDecoderConfig(), dtype="float32")
+    assert cfg.attn_window == 128
+    params = dec.init_decoder_params(cfg, jax.random.PRNGKey(0))
+    n = cfg.attn_window + 12          # 140 frames, crosses the window
+    codes = jax.random.randint(jax.random.PRNGKey(4), (1, n, 16), 0,
+                               cfg.codebook_size)
+
+    def run(sizes):
+        state = dec.init_decoder_state(cfg, params, batch=1)
+        parts, off = [], 0
+        for s in sizes:
+            wav, state = dec.decode_chunk(cfg, params, codes[:, off:off + s],
+                                          state)
+            parts.append(np.asarray(wav))
+            off += s
+        return np.concatenate(parts, axis=1)
+
+    a = run([4] * (n // 4))                       # engine chunk schedule
+    b = run([7] * (n // 7))                       # misaligned chunking
+    assert a.shape == (1, n * cfg.samples_per_frame)
+    assert np.isfinite(a).all()
+    # any window-boundary seam would be O(1); f32 chunk-invariance is exact
+    np.testing.assert_allclose(a, b, atol=1e-4)

@@ -137,3 +137,23 @@ def test_sample_with_allowlist():
     g = sampling.sample_with_allowlist(
         logits, jax.random.PRNGKey(0), 3, [7], 0.0, 0, 1.0)
     assert int(g[0]) == 7
+
+
+def test_mrope_section_layout_matches_llama_cpp():
+    """llama.cpp's GGML mrope assigns frequency i (i < n_dims/2) to position
+    row 0/1/2/3 by CONTIGUOUS section blocks [s0 | s1 | s2 | s3] (not
+    interleaved like HF Qwen2-VL).  With distinct rows the angle for
+    frequency i must therefore use row_of_block(i)."""
+    head_dim = 16                          # n_dims/2 = 8
+    sections = (3, 2, 2, 1)
+    inv = np.asarray(rope.inv_frequencies(head_dim, 10_000.0))
+    sec = jnp.asarray(rope.section_ids(sections))
+    t, h, w, e = 11, 5, 7, 2
+    pos4 = jnp.asarray([[t, h, w, e]], jnp.int32)
+    cos, sin = rope.mrope_cos_sin(pos4, jnp.asarray(inv), sec)
+    rows = [t] * 3 + [h] * 2 + [w] * 2 + [e] * 1
+    want_angles = np.asarray(rows, np.float32) * inv
+    np.testing.assert_allclose(np.asarray(cos[0, :8]),
+                               np.cos(want_angles), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sin[0, :8]),
+                               np.sin(want_angles), atol=1e-6)

@@ -94,3 +94,23 @@ def test_predictor_gguf_import(tmp_path):
     cfg, params = W.load_predictor_gguf(path, base)
     assert params["lm_head"].shape == (base.vocab_size, cfg.d_model)
     assert cfg.d_model == base.d_model
+
+
+def test_mrope_sections_from_gguf_metadata(tmp_path):
+    """qwen3.rope.mrope_section metadata must override the config default
+    (engine.rs:306-314 / llama.cpp qwen3.rope.mrope_section) — the sections
+    are data, not a guess, whenever a real checkpoint provides them."""
+    base = TalkerConfig.tiny()
+    path = tmp_path / "talker_mrope.gguf"
+    rng = np.random.default_rng(0)
+    d, dh = base.d_model, base.head_dim
+    tensors = {"token_embd.weight":
+               rng.standard_normal((64, d)).astype(np.float32) * 0.05}
+    meta = {
+        "general.architecture": "qwen3",
+        "qwen3.rope.mrope_section": [3, 3, 2],
+    }
+    write_gguf(path, tensors, meta)
+    from qwen3_tts_tpu.io.gguf import read_gguf
+    cfg = W.config_from_gguf(read_gguf(path), base)
+    assert cfg.mrope_sections == (3, 3, 2, 0)   # zero-padded to 4 rows
