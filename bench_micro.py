@@ -16,6 +16,8 @@ def main():
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--prompt-cap", type=int, default=128)
     ap.add_argument("--no-int8", action="store_true")
+    ap.add_argument("--int4", action="store_true",
+                    help="packed-int4 LM weights (grouped scales)")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +40,16 @@ def main():
     tp = jax.jit(functools.partial(tl.init_talker_params, cfg.talker))(ks[0])
     pp = jax.jit(functools.partial(pl_.init_predictor_params,
                                    cfg.predictor))(ks[1])
-    if not args.no_int8:
+    if args.int4:
+        tp = jax.jit(lambda p: {
+            "layers": qo.quantize_decoder_layers_int4(p["layers"]),
+            "final_norm": p["final_norm"],
+            "codec_head": qo.quantize_head(p["codec_head"])})(tp)
+        pp = jax.jit(lambda p: {
+            "layers": qo.quantize_decoder_layers_int4(p["layers"]),
+            "final_norm": p["final_norm"],
+            "lm_head": qo.quantize_head(p["lm_head"])})(pp)
+    elif not args.no_int8:
         tp = jax.jit(lambda p: {
             "layers": qo.quantize_decoder_layers(p["layers"]),
             "final_norm": p["final_norm"],

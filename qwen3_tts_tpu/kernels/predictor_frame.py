@@ -1,0 +1,420 @@
+"""Fused predictor-frame Pallas kernel: all 15 residual codes in ONE launch.
+
+The predictor expands each talker frame into 15 residual codes with 15
+sequential tiny decodes (engine.rs:564-611).  As separate XLA steps each
+decode re-streams every layer weight from HBM and pays per-op dispatch;
+measured 3.8 ms/frame (bench_micro) vs a ~0.5 ms bandwidth floor.
+
+This kernel runs the WHOLE inner loop in one pallas_call:
+
+  grid = (16 tokens x L layers)   # token 0 = projected talker hidden,
+                                  # token t>=1 = emb(code_{t-1})
+  * layer weights (int8 + per-channel scales) stream HBM->VMEM per grid
+    step via BlockSpec index maps — the Pallas pipeline double-buffers
+    them, so layer l+1's weights load while layer l computes;
+  * activations, the 16-slot KV cache, and the next-token embedding live
+    in VMEM scratch across grid steps;
+  * after each token's last layer, logits for ONE 2048-row codebook window
+    (streamed by index map) are computed, the code is argmaxed into SMEM,
+    and the next token's 1024-d embedding row is fetched from the codec
+    table in HBM by a single-row async DMA (2 KB, not a 4 MB table block).
+
+Semantics match models/predictor.predict_frame exactly: greedy per-window
+argmax, rms/qk norms, RoPE at positions 0..15, final-layer logits only for
+windows 0..14 (the last decode is skipped, engine.rs:602).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+N_TOKENS = 16          # [hidden, emb(code0), emb(code_1..14)]
+N_WINDOWS = 15         # codebooks 1..15
+_DEBUG = False         # pl.debug_print of per-token magnitudes
+
+
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    return (xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                               + eps)) * w.astype(jnp.float32)
+
+
+def _rotate_half(x):
+    h = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
+
+
+def _blk_rotate_half(x, dh):
+    """rotate_half within each packed dh-lane head block (no reshape —
+    Mosaic can't shape-cast the lane dim): combine two lane rolls with an
+    iota mask.  Both rolls stay inside the block at the masked lanes."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1) % dh
+    n = x.shape[-1]
+    # pltpu.roll needs shift >= 0: a left-roll by dh/2 == right-roll n-dh/2
+    left = pltpu.roll(x, n - dh // 2, axis=x.ndim - 1)   # x[d + dh/2]
+    right = pltpu.roll(x, dh // 2, axis=x.ndim - 1)      # x[d - dh/2]
+    return jnp.where(lane < dh // 2, -left, right)
+
+
+def _blk_rms(x, w_tiled, seg, eps):
+    """rms-norm per dh-lane head block: block means via the segment-sum
+    matrix seg [n_lanes, n_heads] (1 where lane belongs to head)."""
+    xf = x.astype(jnp.float32)
+    dh = seg.shape[0] // seg.shape[1]
+    ms = jax.lax.dot_general(xf * xf, seg, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) / dh
+    inv = jax.lax.rsqrt(ms + eps)                        # [B, n_heads]
+    inv_b = jax.lax.dot_general(inv, seg, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    return xf * inv_b * w_tiled
+
+
+def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
+            ln1_ref, ln2_ref, qn_ref, kn_ref, seg_q_ref, seg_k_ref,
+            wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s, dn_q, dn_s,
+            fn_ref, head_q, head_s, tables_ref,
+            codes_ref,                                   # out (SMEM)
+            x_sc, xnext_sc, win_sc, kc_sc, vc_sc, dma_sems,  # scratch
+            *, cfg_static):
+    (L, B, H, HKV, DH, D, EPS) = cfg_static
+    i = pl.program_id(0)
+    t = i // L
+    l = i % L
+    rep = H // HKV
+    dq = H * DH                                          # packed q lanes
+    dkv = HKV * DH                                       # packed kv lanes
+
+    # ---- token feed: layer 0 loads the current token's activation
+    @pl.when(jnp.logical_and(l == 0, t == 0))
+    def _():
+        x_sc[...] = x0_ref[...]
+        # zero the KV scratch: unwritten future slots otherwise hold
+        # garbage and 0 * inf = NaN through the masked softmax context
+        kc_sc[...] = jnp.zeros_like(kc_sc)
+        vc_sc[...] = jnp.zeros_like(vc_sc)
+        for b in range(B):
+            codes_ref[b, 0] = code0_ref[b, 0]
+
+    @pl.when(jnp.logical_and(l == 0, t > 0))
+    def _():
+        x_sc[...] = xnext_sc[...]
+
+    # ---- one transformer layer on x_sc [B, D].  Heads stay PACKED in the
+    # lane dim throughout (q in grouped-permuted order, baked into the
+    # weights): Mosaic cannot reshape the lane dim into [heads, dh].
+    x = x_sc[...]
+    seg_q = seg_q_ref[...]                               # [dq, H] f32
+    seg_k = seg_k_ref[...]                               # [dkv, HKV] f32
+    hn = _rms(x, ln1_ref[0, 0], EPS).astype(jnp.bfloat16)
+    # mirror ops.quant.matmul numerics: bf16 dot output, bf16 scales
+    qkv = (jax.lax.dot_general(
+        hn, wqkv_q[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        * wqkv_s[0, 0].astype(jnp.bfloat16))
+    q = qkv[:, :dq]                                      # [B, dq] permuted
+    k = qkv[:, dq: dq + dkv]                             # [B, dkv]
+    v = qkv[:, dq + dkv:]                                # [B, dkv]
+    q = _blk_rms(q, qn_ref[0, 0], seg_q, EPS).astype(jnp.bfloat16)
+    k = _blk_rms(k, kn_ref[0, 0], seg_k, EPS).astype(jnp.bfloat16)
+    cos_q = cos_ref[pl.ds(t, 1), :dq]                    # [1, dq] f32
+    sin_q = sin_ref[pl.ds(t, 1), :dq]
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    q = (qf * cos_q + _blk_rotate_half(qf, DH) * sin_q).astype(jnp.bfloat16)
+    k = (kf * cos_q[:, :dkv]
+         + _blk_rotate_half(kf, DH) * sin_q[:, :dkv]).astype(jnp.bfloat16)
+
+    # cache layout [L, S, B, dkv]: the dynamic (layer, slot) indices land
+    # on untiled leading dims — Mosaic requires the tiled sublane dim to be
+    # statically 8-aligned, which an arbitrary slot t is not
+    kc_sc[l, t] = k.astype(jnp.bfloat16)
+    vc_sc[l, t] = v.astype(jnp.bfloat16)
+
+    ks = kc_sc[l].astype(jnp.float32)                    # [S, B, dkv]
+    vs = vc_sc[l].astype(jnp.float32)
+    # grouped expansion = concat of `rep` copies (q head order is permuted
+    # so replica c of kv head j sits at packed position c*HKV + j)
+    kh = jnp.concatenate([ks] * rep, axis=-1)            # [S, B, dq]
+    vh = jnp.concatenate([vs] * rep, axis=-1)
+    prod = q.astype(jnp.float32)[None, :, :] * kh        # [S, B, dq]
+    scores = jax.lax.dot_general(
+        prod, seg_q, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * (DH ** -0.5)   # [S, B, H]
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    scores = jnp.where(s_ids <= t, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=0)
+    pexp = jax.lax.dot_general(
+        probs, seg_q, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [S, B, dq]
+    ctx = jnp.sum(pexp * vh, axis=0)                     # [B, dq] permuted
+    attn = ctx.astype(jnp.bfloat16)
+    xo = (jax.lax.dot_general(
+        attn, wo_q[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        * wo_s[0, 0].astype(jnp.bfloat16))
+    x = x + xo                                           # bf16, like XLA
+
+    hn2 = _rms(x, ln2_ref[0, 0], EPS).astype(jnp.bfloat16)
+    gu = (jax.lax.dot_general(
+        hn2, gu_q[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        * gu_s[0, 0].astype(jnp.bfloat16))
+    f_half = gu.shape[-1] // 2
+    # bf16 silu trips a Mosaic broadcast verifier; compute in f32, round to
+    # bf16 before the gate multiply (same rounding structure as XLA)
+    gf = gu[:, :f_half].astype(jnp.float32)
+    ff = (gf * jax.nn.sigmoid(gf)).astype(jnp.bfloat16) * gu[:, f_half:]
+    xd = (jax.lax.dot_general(
+        ff, dn_q[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        * dn_s[0, 0].astype(jnp.bfloat16))
+    x = x + xd
+    x_sc[...] = x.astype(x_sc.dtype)
+
+    # ---- last layer of token t: logits window -> code -> next embedding
+    @pl.when(l == L - 1)
+    def _():
+        hf = _rms(x, fn_ref[0], EPS).astype(jnp.bfloat16)
+        logits = jax.lax.dot_general(
+            hf, head_q[...].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * head_s[0, 0].astype(
+                jnp.float32)                              # [B, 2048]
+
+        if _DEBUG:
+            pl.debug_print("t={} |x|={} |logits|={}", t,
+                           jnp.max(jnp.abs(x)), jnp.max(jnp.abs(logits)))
+
+        @pl.when(t >= 1)
+        def _():
+            for b in range(B):
+                codes_ref[b, t] = jnp.argmax(logits[b]).astype(jnp.int32)
+
+        # next token t+1 = tables[t][code_t]  (code_0 comes from input).
+        # HBM row slices must be 8-aligned, so DMA the aligned 8-row
+        # window and mask-select the row in VMEM.
+        @pl.when(t < N_TOKENS - 1)
+        def _():
+            for b in range(B):
+                ci = codes_ref[b, t]
+                aligned = (ci // 8) * 8
+                pltpu.make_async_copy(
+                    tables_ref.at[t, pl.ds(aligned, 8), :],
+                    win_sc.at[b],
+                    dma_sems.at[b]).start()
+            for b in range(B):
+                pltpu.make_async_copy(
+                    tables_ref.at[t, pl.ds(0, 8), :],
+                    win_sc.at[b],
+                    dma_sems.at[b]).wait()
+            row = jax.lax.broadcasted_iota(jnp.int32, (B, 8, D), 1)
+            off = jnp.zeros((B, 1, 1), jnp.int32)
+            bidx = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
+            for b in range(B):
+                off = jnp.where(bidx == b, codes_ref[b, t] % 8, off)
+            sel = jnp.where(row == off, win_sc[...], 0.0)
+            xnext_sc[...] = jnp.sum(sel, axis=1).astype(xnext_sc.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg_static", "interpret"))
+def _call(x0, code0, cos, sin, layer_w, fn, head_q, head_s, tables,
+          cfg_static, interpret=False):
+    (L, B, H, HKV, DH, D, EPS) = cfg_static
+    grid = (N_TOKENS * L,)
+    d_ff2 = layer_w["gu_q"].shape[-1]
+    d_ff = layer_w["dn_q"].shape[-2]
+    qkv_out = layer_w["wqkv_q"].shape[-1]
+
+    def per_layer(shape):
+        return pl.BlockSpec(shape, lambda i: (i % L,) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.VMEM)
+
+    def per_window(shape):
+        # head rows for window w = max(t-1, 0); harmless prefetch at t=0
+        def idx(i):
+            t = i // L
+            return (jnp.maximum(t - 1, 0),) + (0,) * (len(shape) - 1)
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    fixed = lambda shape, space=pltpu.VMEM: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=space)
+
+    kernel = functools.partial(_kernel, cfg_static=cfg_static)
+    codes = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            fixed((B, D)),                                # x0 (bf16)
+            fixed((B, 1), pltpu.SMEM),                    # code0
+            fixed((N_TOKENS, H * DH)),                    # cos (lane-packed)
+            fixed((N_TOKENS, H * DH)),                    # sin
+            per_layer((1, 1, D)),                         # ln1
+            per_layer((1, 1, D)),                         # ln2
+            per_layer((1, 1, H * DH)),                    # q_norm (tiled)
+            per_layer((1, 1, HKV * DH)),                  # k_norm (tiled)
+            fixed((H * DH, H)),                           # seg_q
+            fixed((HKV * DH, HKV)),                       # seg_k
+            per_layer((1, D, qkv_out)),                   # wqkv q
+            per_layer((1, 1, qkv_out)),                   # wqkv s
+            per_layer((1, H * DH, D)),                    # wo q
+            per_layer((1, 1, D)),                         # wo s
+            per_layer((1, D, d_ff2)),                     # gate_up q
+            per_layer((1, 1, d_ff2)),                     # gate_up s
+            per_layer((1, d_ff, D)),                      # down q
+            per_layer((1, 1, D)),                         # down s
+            fixed((1, D)),                                # final norm
+            per_window((2048, D)),                        # head rows (int8)
+            per_window((1, 1, 2048)),                     # head scales
+            pl.BlockSpec(memory_space=pltpu.ANY),         # codec tables
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((B, N_TOKENS), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((B, D), jnp.bfloat16),             # x (residual, =XLA dtype)
+            pltpu.VMEM((B, D), jnp.bfloat16),             # xnext
+            pltpu.VMEM((B, 8, D), jnp.bfloat16),          # dma row windows
+            pltpu.VMEM((L, N_TOKENS, B, HKV * DH), jnp.bfloat16),  # K packed
+            pltpu.VMEM((L, N_TOKENS, B, HKV * DH), jnp.bfloat16),  # V packed
+            pltpu.SemaphoreType.DMA((B,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x0, code0, cos, sin,
+      layer_w["ln1"], layer_w["ln2"], layer_w["qn"], layer_w["kn"],
+      layer_w["seg_q"], layer_w["seg_k"],
+      layer_w["wqkv_q"], layer_w["wqkv_s"], layer_w["wo_q"], layer_w["wo_s"],
+      layer_w["gu_q"], layer_w["gu_s"], layer_w["dn_q"], layer_w["dn_s"],
+      fn, head_q, head_s, tables)
+    return codes
+
+
+def _head_perm(H, HKV, DH):
+    """q-head permutation: packed position c*HKV + j holds original head
+    h with h // rep == j, so the grouped expansion is concat([kv] * rep)."""
+    rep = H // HKV
+    heads = [rep * (i % HKV) + (i // HKV) for i in range(H)]
+    return np.concatenate([np.arange(DH) + h * DH for h in heads])
+
+
+def _seg_matrix(n_heads, dh):
+    """[n_heads*dh, n_heads] f32, 1 where the lane belongs to the head."""
+    seg = np.zeros((n_heads * dh, n_heads), np.float32)
+    for h in range(n_heads):
+        seg[h * dh:(h + 1) * dh, h] = 1.0
+    return seg
+
+
+def _prep_layer_weights(cfg, params) -> Dict[str, Any]:
+    """Split the stacked layer dict into kernel inputs (int8 + scales),
+    permuting q columns / wo rows into grouped order and tiling the
+    per-head norm weights across packed lanes."""
+    from ..ops.quant import is_quantized, quantize_weight
+    lw = params["layers"]
+    H, HKV, DH = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    dq = H * DH
+    perm = _head_perm(H, HKV, DH)
+
+    def qs(w):
+        if is_quantized(w):
+            return w["q"], w["s"]
+        q = quantize_weight(w, axis=-2)
+        return q["q"], q["s"]
+
+    wqkv_q, wqkv_s = qs(lw["wqkv"])
+    wo_q, wo_s = qs(lw["wo"])
+    gu_q, gu_s = qs(lw["w_gate_up"])
+    dn_q, dn_s = qs(lw["w_down"])
+    # permute the q output-columns (and their scales); k/v stay in place
+    pj = jnp.asarray(perm)
+    wqkv_q = jnp.concatenate([wqkv_q[..., :, pj], wqkv_q[..., :, dq:]], -1)
+    wqkv_s = jnp.concatenate([wqkv_s[..., pj], wqkv_s[..., dq:]], -1)
+    wo_q = wo_q[..., pj, :]                         # input rows = attn lanes
+    def mid(a):     # [L, n] -> [L, 1, n]: unit middle dim so BlockSpec
+        return a[:, None, :]  # blocks match the array's trailing dims
+
+    qn_t = jnp.tile(lw["q_norm"].astype(jnp.float32), (1, H))
+    kn_t = jnp.tile(lw["k_norm"].astype(jnp.float32), (1, HKV))
+    return {
+        "ln1": mid(lw["ln1"].astype(jnp.float32)),
+        "ln2": mid(lw["ln2"].astype(jnp.float32)),
+        "qn": mid(qn_t),
+        "kn": mid(kn_t),
+        "seg_q": jnp.asarray(_seg_matrix(H, DH)),
+        "seg_k": jnp.asarray(_seg_matrix(HKV, DH)),
+        "wqkv_q": wqkv_q, "wqkv_s": mid(wqkv_s.astype(jnp.float32)),
+        "wo_q": wo_q, "wo_s": mid(wo_s.astype(jnp.float32)),
+        "gu_q": gu_q, "gu_s": mid(gu_s.astype(jnp.float32)),
+        "dn_q": dn_q, "dn_s": mid(dn_s.astype(jnp.float32)),
+    }
+
+
+def supported(cfg, batch: int) -> bool:
+    """Kernel constraints: decode-shaped batch, standard dims, TPU backend.
+    Larger batches keep the XLA path (weight streams amortize across
+    streams there, and the VMEM KV scratch stays small here)."""
+    return (batch <= 8
+            and cfg.n_residual_codebooks == 15
+            and cfg.codebook_size == 2048
+            and cfg.d_model % 128 == 0
+            and cfg.head_dim in (64, 128))
+
+
+def predict_frame_fused(cfg, params, h1024, code0, codec_tables_1024,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Drop-in for models.predictor.predict_frame on TPU (B <= 8).
+
+    h1024 [B, D] f32; code0 [B] int32; codec_tables_1024 [16, R, D].
+    Returns codes [B, 16] int32.
+    """
+    from ..ops.rope import inv_frequencies
+
+    B = h1024.shape[0]
+    D = cfg.d_model
+    pad_b = max(8, B)
+    cfg_static = (cfg.n_layers, pad_b, cfg.n_heads, cfg.n_kv_heads,
+                  cfg.head_dim, D, cfg.rms_eps)
+
+    inv = np.asarray(inv_frequencies(cfg.head_dim, cfg.rope_theta))
+    pos = np.arange(N_TOKENS, dtype=np.float32)
+    ang = pos[:, None] * inv[None, :]                     # [16, DH/2]
+    cos1 = np.concatenate([np.cos(ang), np.cos(ang)], -1)  # [16, DH]
+    sin1 = np.concatenate([np.sin(ang), np.sin(ang)], -1)
+    # identical per head -> tile across the packed q lanes
+    cos = jnp.asarray(np.tile(cos1, (1, cfg.n_heads)), jnp.float32)
+    sin = jnp.asarray(np.tile(sin1, (1, cfg.n_heads)), jnp.float32)
+
+    layer_w = _prep_layer_weights(cfg, params)
+    from ..ops.quant import is_quantized, quantize_weight
+    head = params["lm_head"]
+    if is_quantized(head):
+        head_q, head_s = head["q"], head["s"]
+    else:
+        qh = quantize_weight(head, axis=-1)
+        head_q, head_s = qh["q"], qh["s"]
+    n_vocab = head_q.shape[0]
+    head_s2 = head_s.astype(jnp.float32).reshape(n_vocab // 2048, 1, 2048)
+
+    # the kernel feeds tables[t] for token t+1; predict_frame uses table q
+    # for step q's embedding, i.e. token t+1 = tables[t][code_t] -> pass
+    # tables 0..14 (codebooks 0..14; table 15 is never fed back)
+    tables = codec_tables_1024[:N_TOKENS - 1].astype(jnp.bfloat16)
+
+    x0 = h1024.astype(jnp.bfloat16)
+    c0 = code0.astype(jnp.int32).reshape(B, 1)
+    if pad_b != B:
+        x0 = jnp.pad(x0, ((0, pad_b - B), (0, 0)))
+        c0 = jnp.pad(c0, ((0, pad_b - B), (0, 0)))
+
+    codes = _call(x0, c0, cos, sin, layer_w,
+                  params["final_norm"].astype(jnp.float32)[None, :],
+                  head_q, head_s2, tables,
+                  cfg_static=cfg_static, interpret=interpret)
+    return codes[:B]

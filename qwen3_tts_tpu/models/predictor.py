@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from ..core.config import PredictorConfig
 from ..ops.rope import inv_frequencies, rope_cos_sin
-from ..ops.sampling import greedy_slice_argmax
 from . import transformer
 
 
@@ -37,6 +36,14 @@ def init_predictor_params(cfg: PredictorConfig, key: jax.Array) -> Dict[str, Any
 def _logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
     from ..ops.quant import head_matmul
     return head_matmul(hidden, params["lm_head"])
+
+
+def _window_logits(params, hidden: jnp.ndarray, start, size: int
+                   ) -> jnp.ndarray:
+    """Logits for one codebook's 2048-row window only: streams ~2 MB of
+    head weights per step instead of the full ~31 MB vocabulary."""
+    from ..ops.quant import head_matmul_slice
+    return head_matmul_slice(hidden, params["lm_head"], start, size)
 
 
 def predict_frame(cfg: PredictorConfig, params, h1024: jnp.ndarray,
@@ -63,28 +70,30 @@ def predict_frame(cfg: PredictorConfig, params, h1024: jnp.ndarray,
     cos, sin = rope_cos_sin(pos, inv_freq)
     hidden, cache = transformer.decoder_forward(cfg, params, x, cos, sin,
                                                 cache, prompt_cap=0)
-    logits = _logits(params, hidden[:, -1])  # [B, vocab]
+    # Only codebook 1's window is ever consumed from the prefill logits
+    # (engine.rs:587-595 slices [(q-1)*2048, q*2048) with q=1 first).
+    w_logits = _window_logits(params, hidden[:, -1], 0,
+                              cfg.codebook_size)  # [B, 2048]
 
     def step(carry, q):
-        logits, cache = carry
-        code_q = greedy_slice_argmax(logits, (q - 1) * cfg.codebook_size,
-                                     cfg.codebook_size)  # [B], relative
+        w_logits, cache = carry
+        code_q = jnp.argmax(w_logits, axis=-1).astype(jnp.int32)  # relative
         emb_q = codec_tables_1024[q][code_q].astype(dtype)  # [B, 1024]
         p = jnp.full((b, 1), q + 1, jnp.int32)
         cos, sin = rope_cos_sin(p, inv_freq)
         hidden, cache = transformer.decoder_forward(
             cfg, params, emb_q[:, None, :], cos, sin, cache, prompt_cap=0)
-        logits = _logits(params, hidden[:, 0])
-        return (logits, cache), code_q
+        w_logits = _window_logits(params, hidden[:, 0],
+                                  q * cfg.codebook_size, cfg.codebook_size)
+        return (w_logits, cache), code_q
 
     # Iterations 1..14 sample code_q then decode its embedding; the final
     # codebook only needs the argmax (the reference likewise skips the last
     # decode, engine.rs:602).
     n_res = cfg.n_residual_codebooks
     qs = jnp.arange(1, n_res, dtype=jnp.int32)
-    (logits, _), residual_codes = jax.lax.scan(step, (logits, cache), qs)
-    code_last = greedy_slice_argmax(logits, (n_res - 1) * cfg.codebook_size,
-                                    cfg.codebook_size)  # [B]
+    (w_logits, _), residual_codes = jax.lax.scan(step, (w_logits, cache), qs)
+    code_last = jnp.argmax(w_logits, axis=-1).astype(jnp.int32)  # [B]
     codes = jnp.concatenate([code0[:, None],
                              jnp.transpose(residual_codes, (1, 0)),
                              code_last[:, None]], axis=1)

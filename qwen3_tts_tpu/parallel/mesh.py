@@ -102,6 +102,22 @@ def place_params(params, mesh: Mesh, specs: Dict[str, Any]):
     def walk(p, s):
         if is_quantized(p):
             spec = s if isinstance(s, P) else P()
+            if "q4" in p:
+                # int4: packed weights and grouped scales share the weight's
+                # rank ([..., in/2, out] and [..., in/group, out]); scale
+                # axes too small to split (e.g. one group) replicate instead
+                def fit(arr, sp):
+                    names = list(sp) + [None] * (arr.ndim - len(sp))
+                    kept = [n if n is None or
+                            arr.shape[i] % mesh.shape[n] == 0 else None
+                            for i, n in enumerate(names)]
+                    return P(*kept)
+                return {
+                    "q4": jax.device_put(
+                        p["q4"], NamedSharding(mesh, fit(p["q4"], spec))),
+                    "s": jax.device_put(
+                        p["s"], NamedSharding(mesh, fit(p["s"], spec))),
+                }
             return {
                 "q": jax.device_put(p["q"], NamedSharding(mesh, spec)),
                 "s": jax.device_put(p["s"], NamedSharding(mesh, scale_spec(spec))),

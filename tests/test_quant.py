@@ -83,3 +83,93 @@ def test_engine_int8_e2e(tmp_path, tiny_cfg):
     eng.set_sampler_config(SamplerConfig(seed=5))
     audio = eng.generate_with_voice("int8 path", eng.get_speaker("vivian"))
     assert np.isfinite(audio.samples).all()
+
+
+def test_head_matmul_slice_equals_full():
+    """head_matmul_slice must equal the corresponding columns of the full
+    head matmul, quantized and not (predictor streams per-codebook windows
+    instead of the whole vocabulary)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from qwen3_tts_tpu.ops.quant import (head_matmul, head_matmul_slice,
+                                         quantize_head)
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.standard_normal((3, 32)).astype(np.float32))
+    head = jnp.asarray(rng.standard_normal((80, 32)).astype(np.float32))
+    full = np.asarray(head_matmul(h, head))
+    for start, size in ((0, 16), (16, 16), (64, 16)):
+        win = np.asarray(head_matmul_slice(h, head, start, size))
+        np.testing.assert_allclose(win, full[:, start:start + size],
+                                   rtol=1e-5, atol=1e-5)
+    qhead = jax.jit(quantize_head)(head)
+    fullq = np.asarray(head_matmul(h, qhead))
+    for start, size in ((0, 16), (48, 32)):
+        win = np.asarray(head_matmul_slice(h, qhead, start, size))
+        np.testing.assert_allclose(win, fullq[:, start:start + size],
+                                   rtol=1e-5, atol=1e-5)
+    # jit + traced start (how the predictor scan calls it)
+    f = jax.jit(lambda s: head_matmul_slice(h, qhead, s, 16))
+    np.testing.assert_allclose(np.asarray(f(jnp.int32(16))),
+                               fullq[:, 16:32], rtol=1e-5, atol=1e-5)
+
+
+def test_int4_pack_roundtrip_and_matmul():
+    """Grouped int4 (nibbles packed in int8 carriers): dequant roundtrip is
+    within int4 quantization error, matmul matches the dequantized dense
+    product, and it jits."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from qwen3_tts_tpu.ops import quant as Q
+
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((256, 48)).astype(np.float32) * 0.1
+    qw = jax.jit(lambda w: Q.quantize_weight_int4(w, group=64))(
+        jnp.asarray(w))
+    assert qw["q4"].shape == (128, 48) and qw["q4"].dtype == jnp.int8
+    assert qw["s"].shape == (4, 48)
+    deq = np.asarray(Q._unpack_int4(qw, jnp.float32))
+    # max error bounded by half a quantization step per group
+    step = np.asarray(qw["s"]).repeat(64, axis=0)
+    assert (np.abs(deq - w) <= 0.5 * step + 1e-6).all()
+
+    x = jnp.asarray(rng.standard_normal((3, 256)).astype(np.float32))
+    y = np.asarray(jax.jit(Q.matmul)(x, qw))
+    np.testing.assert_allclose(y, np.asarray(x) @ deq, rtol=1e-4, atol=1e-4)
+
+    # stacked-layer form used by the models ([L, in, out])
+    wl = rng.standard_normal((2, 256, 32)).astype(np.float32) * 0.1
+    ql = Q.quantize_weight_int4(jnp.asarray(wl), group=128)
+    deq_l = np.asarray(Q._unpack_int4(ql, jnp.float32))
+    # expected int4 noise on gaussian weights: step ~= 3sigma/7, mean |err|
+    # ~= step/4 -> rel ~= 0.13; assert within the analytic envelope
+    rel = np.abs(deq_l - wl).mean() / np.abs(wl).mean()
+    assert rel < 0.16
+
+
+def test_int4_decoder_layers_quantize_and_place():
+    """quantize_decoder_layers_int4 output passes through mesh placement."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from qwen3_tts_tpu.ops import quant as Q
+    from qwen3_tts_tpu.parallel import mesh as mesh_lib
+
+    rng = np.random.default_rng(1)
+    layers = {
+        "ln1": jnp.ones((2, 32)), "ln2": jnp.ones((2, 32)),
+        "q_norm": jnp.ones((2, 8)), "k_norm": jnp.ones((2, 8)),
+        "wqkv": jnp.asarray(rng.standard_normal((2, 32, 64)), jnp.float32),
+        "wo": jnp.asarray(rng.standard_normal((2, 32, 32)), jnp.float32),
+        "w_gate_up": jnp.asarray(rng.standard_normal((2, 32, 128)),
+                                 jnp.float32),
+        "w_down": jnp.asarray(rng.standard_normal((2, 64, 32)), jnp.float32),
+    }
+    q = Q.quantize_decoder_layers_int4(layers, group=32)
+    assert Q.is_int4(q["wqkv"]) and Q.is_quantized(q["wqkv"])
+    mesh = mesh_lib.make_mesh(4, 2)
+    placed = mesh_lib.place_params({"layers": q}, mesh,
+                                   {"layers": mesh_lib.decoder_param_specs()})
+    assert placed["layers"]["wqkv"]["q4"].shape == (2, 16, 64)
+    assert placed["layers"]["wqkv"]["s"].shape == (2, 1, 64)
