@@ -47,9 +47,20 @@ class ContinuousBatcher:
 
     def run(self, requests: Sequence[BatchRequest]) -> List[BatchResult]:
         results: List[Optional[BatchResult]] = [None] * len(requests)
-        queue = list(range(len(requests)))
-        while queue:
-            queue = self._run_generation(requests, results, queue)
+        eng = self.engine
+        # Bucket routing: group requests by prompt bucket so a short prompt
+        # never pays a long prompt's prefill padding (round-1 known gap:
+        # one global bucket per queue).
+        plans = {}
+        buckets = {}
+        for i, r in enumerate(requests):
+            plans[i] = eng._build_voice_prompt(r.text, r.voice, r.instruct)
+            buckets.setdefault(eng._bucket(plans[i].length), []).append(i)
+        for bucket in sorted(buckets):
+            queue = buckets[bucket]
+            while queue:
+                queue = self._run_generation(requests, results, queue,
+                                             plans, bucket)
         return [r if r is not None else
                 BatchResult(audio=AudioSample(np.zeros(0, np.float32),
                                               P_.SAMPLE_RATE, 1),
@@ -57,7 +68,8 @@ class ContinuousBatcher:
                 for r in results]
 
     # ------------------------------------------------------------------
-    def _run_generation(self, requests, results, queue: List[int]) -> List[int]:
+    def _run_generation(self, requests, results, queue: List[int],
+                        plans, bucket: int) -> List[int]:
         """One generation state: fill lanes, decode with refill until the
         cache budget is exhausted or the queue + lanes drain.  Returns the
         remaining queue."""
@@ -66,11 +78,6 @@ class ContinuousBatcher:
         b = self.batch_size
         spf = cfg.codec_decoder.samples_per_frame
         n_chunk = cfg.runtime.frames_per_chunk
-
-        plans = {i: eng._build_voice_prompt(requests[i].text, requests[i].voice,
-                                            requests[i].instruct)
-                 for i in queue}
-        bucket = eng._bucket(max(p.length for p in plans.values()))
 
         # Initial lane assignment.
         lane_req: List[Optional[int]] = [None] * b

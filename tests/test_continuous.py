@@ -84,3 +84,34 @@ def test_continuous_budget_clamp(tiny_engine):
     for r in results:
         assert r.frames <= 3
         assert len(r.audio.samples) == r.frames * spf
+
+
+def test_bucket_routing_mixed_lengths(tiny_engine, monkeypatch):
+    """Mixed-length prompts are grouped by prompt bucket (a short prompt
+    never pays a long prompt's prefill padding) and all complete."""
+    eng = tiny_engine
+    eng.set_max_steps(8)
+    eng.set_sampler_config(SamplerConfig(seed=8))
+    voice = eng.get_speaker("vivian")
+    short = "hi"
+    long_t = "x" * 40                      # tiny cap 64: lands in bucket 64
+    reqs = [BatchRequest(short, voice, max_frames=2),
+            BatchRequest(long_t, voice, max_frames=2),
+            BatchRequest(short, voice, max_frames=2)]
+
+    seen_buckets = []
+    orig = eng.prompt_to_device
+
+    def spy(plans, bucket=None):
+        if bucket is not None:
+            seen_buckets.append(bucket)
+        return orig(plans, bucket)
+
+    monkeypatch.setattr(eng, "prompt_to_device", spy)
+    batcher = ContinuousBatcher(eng, batch_size=2, max_frames_per_stream=4)
+    results = batcher.run(reqs)
+    assert all(r.frames <= 2 for r in results)
+    assert all(np.isfinite(r.audio.samples).all() for r in results)
+    # two distinct buckets were used, and the short prompts used the small one
+    assert len(set(seen_buckets)) >= 2
+    assert min(seen_buckets) < max(seen_buckets)
