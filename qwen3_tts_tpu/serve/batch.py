@@ -29,7 +29,6 @@ import numpy as np
 from ..core import protocol as P_
 from ..io.audio import AudioSample
 from ..io.voice_file import VoiceFile
-from ..models.codec import decoder as codec_decoder
 from ..parallel import mesh as mesh_lib
 from ..runtime.generate import SamplerParams
 
@@ -82,7 +81,6 @@ class BatchSynthesizer:
         cfg = eng.config
         n_real = len(wave)
         b = self.batch_size
-        spf = cfg.codec_decoder.samples_per_frame
         n_chunk = cfg.runtime.frames_per_chunk
 
         plans = [eng._build_voice_prompt(r.text, r.voice, r.instruct)
@@ -101,8 +99,8 @@ class BatchSynthesizer:
         state = eng.generator.start(embeds_j, jnp.asarray(lens),
                                     jax.random.PRNGKey(seed))
         sampler = SamplerParams.make(eng.sampler_config)
-        dec_state = codec_decoder.init_decoder_state(
-            cfg.codec_decoder, eng.codec_decoder_params, batch=b)
+        from .codec_path import LaneCodec
+        codec = LaneCodec(eng, b)
 
         budgets = np.asarray(
             [(wave[i].max_frames if i < n_real and wave[i].max_frames
@@ -115,21 +113,22 @@ class BatchSynthesizer:
         steps = 0
         while steps < eng.max_steps:
             n = min(n_chunk, eng.max_steps - steps)
-            state, dec_state, codes, valid, wav = \
-                eng.generator.chunk_with_audio(
-                    state, dec_state, sampler, prompt_cap=bucket, n_frames=n)
-            valid_np = np.asarray(valid)            # [B, n]
-            wav_np = np.asarray(wav)                # [B, n*spf]
+            state, codes_np, valid_np = codec.run_chunk(
+                state, sampler, prompt_cap=bucket, n_frames=n)
             steps += n
             for i in range(b):
                 if finished[i]:
                     continue
                 k = int(valid_np[i].sum())
+                hit_eos = k < n
                 k = min(k, int(budgets[i] - n_frames[i]))
+                done_now = hit_eos or (n_frames[i] + k >= budgets[i])
+                samples = codec.lane_audio(i, codes_np[i], k,
+                                           is_final=done_now)
                 if k > 0:
-                    wavs[i].append(wav_np[i, : k * spf])
+                    wavs[i].append(samples)
                     n_frames[i] += k
-                if int(valid_np[i].sum()) < n:
+                if hit_eos:
                     saw_eos[i] = True
                     finished[i] = True
                 elif n_frames[i] >= budgets[i]:

@@ -1,0 +1,88 @@
+"""Uniform codec path for the batch schedulers.
+
+The engine has two waveform backends: the fused native decoder (codec
+decode inside the same XLA program as the LM chunk — fastest, used in dev
+and once native weights are imported) and the published-ONNX decoder
+(io.onnx_exec — exact graph, batch-1 state signature, onnx.rs:342-458).
+
+Round-1 gap: the serving loops called `chunk_with_audio` unconditionally,
+so a real-weights install (ONNX present, native npz absent) would still
+synthesize through the random-weight native codec in serving.  LaneCodec
+gives batch.py / continuous.py / online.py one interface over both:
+
+    codec = LaneCodec(engine, batch)
+    state, codes_np, valid_np = codec.run_chunk(state, sampler, ...)
+    samples = codec.lane_audio(lane, codes_np[lane], k, eos)  # k clamped
+    codec.reset_lanes(mask)                                   # on refill
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.codec import decoder as codec_decoder
+
+
+class LaneCodec:
+    def __init__(self, engine, batch: int):
+        self.eng = engine
+        self.b = int(batch)
+        self.spf = engine.config.codec_decoder.samples_per_frame
+        self.use_onnx = getattr(engine, "onnx_decoder", None) is not None
+        self._wav_np: Optional[np.ndarray] = None
+        if self.use_onnx:
+            self.states: List[dict] = [engine.onnx_decoder.create_state()
+                                       for _ in range(self.b)]
+            self.dec_state = None
+        else:
+            self.dec_state = codec_decoder.init_decoder_state(
+                engine.config.codec_decoder, engine.codec_decoder_params,
+                batch=self.b)
+            self._reset_fn = jax.jit(codec_decoder.reset_lanes)
+
+    # ---------------------------------------------------------------- chunk
+    def run_chunk(self, state, sampler, *, prompt_cap: int, n_frames: int,
+                  uniform_cursor: bool = True):
+        """One LM chunk.  Returns (state, codes_np [B,n,16], valid_np [B,n])."""
+        eng = self.eng
+        if self.use_onnx:
+            state, codes, valid = eng.generator.chunk(
+                state, sampler, prompt_cap=prompt_cap, n_frames=n_frames,
+                uniform_cursor=uniform_cursor)
+            self._wav_np = None
+            return state, np.asarray(codes), np.asarray(valid)
+        state, self.dec_state, codes, valid, wav = \
+            eng.generator.chunk_with_audio(
+                state, self.dec_state, sampler, prompt_cap=prompt_cap,
+                n_frames=n_frames, uniform_cursor=uniform_cursor)
+        self._wav_np = np.asarray(wav)
+        return state, np.asarray(codes), np.asarray(valid)
+
+    # ---------------------------------------------------------------- audio
+    def lane_audio(self, lane: int, lane_codes: np.ndarray, k: int,
+                   is_final: bool) -> np.ndarray:
+        """Waveform for the first k (budget-clamped) frames of this lane's
+        chunk.  lane_codes: [n, 16] from run_chunk's codes_np."""
+        if k <= 0:
+            return np.zeros(0, np.float32)
+        if self.use_onnx:
+            wav, self.states[lane] = self.eng.onnx_decoder.decode(
+                np.asarray(lane_codes[:k]), self.states[lane],
+                is_final=is_final)
+            return np.asarray(wav, np.float32)
+        return self._wav_np[lane, : k * self.spf]
+
+    # ---------------------------------------------------------------- reset
+    def reset_lanes(self, mask: np.ndarray) -> None:
+        if not mask.any():
+            return
+        if self.use_onnx:
+            for lane in np.nonzero(mask)[0]:
+                self.states[int(lane)] = self.eng.onnx_decoder.create_state()
+        else:
+            self.dec_state = self._reset_fn(self.dec_state,
+                                            jnp.asarray(mask))

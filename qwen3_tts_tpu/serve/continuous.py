@@ -30,7 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import protocol as P_
-from ..models.codec import decoder as codec_decoder
 from ..runtime.generate import SamplerParams
 from .batch import BatchRequest, BatchResult
 from ..io.audio import AudioSample
@@ -76,7 +75,6 @@ class ContinuousBatcher:
         eng = self.engine
         cfg = eng.config
         b = self.batch_size
-        spf = cfg.codec_decoder.samples_per_frame
         n_chunk = cfg.runtime.frames_per_chunk
 
         # Initial lane assignment.
@@ -99,13 +97,12 @@ class ContinuousBatcher:
         done_init = np.asarray([lane_req[i] is None for i in range(b)])
         state = state.replace(done=jnp.asarray(done_init))
         sampler = SamplerParams.make(eng.sampler_config)
-        dec_state = codec_decoder.init_decoder_state(
-            cfg.codec_decoder, eng.codec_decoder_params, batch=b)
+        from .codec_path import LaneCodec
+        codec = LaneCodec(eng, b)
 
         wavs = {i: [] for i in queue + first}
         frames = {i: 0 for i in queue + first}
 
-        reset_fn = jax.jit(codec_decoder.reset_lanes)
         set_done = jax.jit(lambda s, lane: s.replace(
             done=s.done.at[lane].set(True)))
         while True:
@@ -113,12 +110,9 @@ class ContinuousBatcher:
             if not active:
                 break
 
-            state, dec_state, codes, valid, wav = \
-                eng.generator.chunk_with_audio(
-                    state, dec_state, sampler, prompt_cap=bucket,
-                    n_frames=n_chunk, uniform_cursor=False)
-            valid_np = np.asarray(valid)            # [B, n]
-            wav_np = np.asarray(wav)                # [B, n*spf]
+            state, codes_np, valid_np = codec.run_chunk(
+                state, sampler, prompt_cap=bucket,
+                n_frames=n_chunk, uniform_cursor=False)
 
             refill_mask = np.zeros(b, bool)
             for lane in range(b):
@@ -129,8 +123,11 @@ class ContinuousBatcher:
                 hit_eos = k < n_chunk
                 budget = requests[req].max_frames or self.max_frames
                 k = min(k, budget - frames[req])
+                done_now = hit_eos or frames[req] + k >= budget
+                samples = codec.lane_audio(lane, codes_np[lane], k,
+                                           is_final=done_now)
                 if k > 0:
-                    wavs[req].append(wav_np[lane, : k * spf])
+                    wavs[req].append(samples)
                     frames[req] += k
                 out_of_budget = frames[req] >= budget
                 if hit_eos or out_of_budget:
@@ -153,8 +150,7 @@ class ContinuousBatcher:
                             min(plans[nxt].length, bucket), lane)
                         lane_req[lane] = nxt
                         refill_mask[lane] = True
-            if refill_mask.any():
-                dec_state = reset_fn(dec_state, jnp.asarray(refill_mask))
+            codec.reset_lanes(refill_mask)
 
         # Finalize any lane that ran out of loop (should not happen: lanes
         # end by EOS or budget above); keep collected audio.

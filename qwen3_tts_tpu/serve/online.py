@@ -31,7 +31,6 @@ import numpy as np
 
 from ..core import protocol as P_
 from ..io.audio import AudioSample
-from ..models.codec import decoder as codec_decoder
 from ..runtime.generate import SamplerParams
 from .batch import BatchRequest, BatchResult
 
@@ -82,22 +81,21 @@ class OnlineBatcher:
         eng = self.engine
         cfg = eng.config
         b = self.batch_size
-        spf = cfg.codec_decoder.samples_per_frame
         n_chunk = cfg.runtime.frames_per_chunk
         sampler = SamplerParams.make(eng.sampler_config)
 
+        from .codec_path import LaneCodec
         state = None
-        dec_state = None
+        codec = LaneCodec(eng, b)
         lane_fut: List[Optional[Future]] = [None] * b
         lane_req: List[Optional[BatchRequest]] = [None] * b
         lane_wavs: List[List[np.ndarray]] = [[] for _ in range(b)]
         lane_frames = [0] * b
-        reset_fn = jax.jit(codec_decoder.reset_lanes)
         set_done = jax.jit(lambda s, lane: s.replace(
             done=s.done.at[lane].set(True)))
 
         def try_fill_lanes():
-            nonlocal state, dec_state
+            nonlocal state
             refill_mask = np.zeros(b, bool)
             for lane in range(b):
                 if lane_fut[lane] is not None:
@@ -124,9 +122,6 @@ class OnlineBatcher:
                         done0 = np.ones(b, bool)
                         done0[lane] = False
                         state = state.replace(done=jnp.asarray(done0))
-                        dec_state = codec_decoder.init_decoder_state(
-                            cfg.codec_decoder, eng.codec_decoder_params,
-                            batch=b)
                     else:
                         embeds, _ = eng.prompt_to_device(plan, self.bucket)
                         state = eng.generator.refill_lane(
@@ -142,8 +137,7 @@ class OnlineBatcher:
                 lane_req[lane] = req
                 lane_wavs[lane] = []
                 lane_frames[lane] = 0
-            if refill_mask.any():
-                dec_state = reset_fn(dec_state, jnp.asarray(refill_mask))
+            codec.reset_lanes(refill_mask)
 
         def finish(lane: int, eos: bool):
             fut = lane_fut[lane]
@@ -165,20 +159,20 @@ class OnlineBatcher:
                 time.sleep(self.idle_poll_s)
                 continue
 
-            state, dec_state, codes, valid, wav = \
-                eng.generator.chunk_with_audio(
-                    state, dec_state, sampler, prompt_cap=self.bucket,
-                    n_frames=n_chunk, uniform_cursor=False)
-            valid_np = np.asarray(valid)
-            wav_np = np.asarray(wav)
+            state, codes_np, valid_np = codec.run_chunk(
+                state, sampler, prompt_cap=self.bucket,
+                n_frames=n_chunk, uniform_cursor=False)
             for lane in active:
                 budget = (lane_req[lane].max_frames or self.max_frames)
                 k = int(valid_np[lane].sum())
+                hit_eos = k < n_chunk
                 k = min(k, budget - lane_frames[lane])
+                done_now = hit_eos or lane_frames[lane] + k >= budget
+                samples = codec.lane_audio(lane, codes_np[lane], k,
+                                           is_final=done_now)
                 if k > 0:
-                    lane_wavs[lane].append(wav_np[lane, : k * spf])
+                    lane_wavs[lane].append(samples)
                     lane_frames[lane] += k
-                hit_eos = int(valid_np[lane].sum()) < n_chunk
                 if hit_eos or lane_frames[lane] >= budget:
                     if not hit_eos:
                         state = set_done(state, lane)

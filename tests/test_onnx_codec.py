@@ -129,3 +129,26 @@ def test_engine_generates_through_onnx_path(onnx_engine):
     streamed = (np.concatenate(chunks) if chunks
                 else np.zeros(0, np.float32))
     np.testing.assert_allclose(streamed, audio.samples, atol=1e-5)
+
+
+def test_serving_uses_onnx_decoder(onnx_engine):
+    """Round-1 gap: schedulers decoded through the native random-weight
+    codec even when the real ONNX decoder was installed.  A batched request
+    must now produce the same waveform as single-stream synthesis (which
+    routes through the ONNX graph)."""
+    from qwen3_tts_tpu.core.config import SamplerConfig
+    from qwen3_tts_tpu.serve.batch import BatchRequest
+    from qwen3_tts_tpu.serve.continuous import ContinuousBatcher
+
+    eng = onnx_engine
+    eng.set_max_steps(6)
+    voice = eng.get_speaker("vivian")
+    eng.set_sampler_config(SamplerConfig(seed=21))
+    solo = eng.generate_with_voice("serve onnx", voice)
+
+    eng.set_sampler_config(SamplerConfig(seed=21))
+    batcher = ContinuousBatcher(eng, batch_size=2, max_frames_per_stream=6)
+    results = batcher.run([BatchRequest("serve onnx", voice)])
+    assert results[0].frames > 0
+    np.testing.assert_allclose(results[0].audio.samples, solo.samples,
+                               atol=1e-5)
