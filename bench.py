@@ -149,6 +149,26 @@ def main() -> None:
 
     audio_s = FRAMES * spf / P.SAMPLE_RATE
     rtf = total / audio_s
+
+    # Hardware-utilization accounting (decode is HBM-bound, so both views):
+    # MFU = matmul FLOPs per frame / (frame time x bf16 peak), and the
+    # achieved weight-stream bandwidth (int8 bytes the frame must read).
+    def n_elems(tree):
+        import jax
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+    talker_p = n_elems(talker_params["layers"])
+    pred_p = n_elems(predictor_params["layers"])
+    head_rows = 2160 * cfg.talker.d_model           # sampled slice only
+    pred_head = 15 * 2048 * cfg.predictor.d_model   # per-step window reads
+    flops_frame = 2 * (talker_p + head_rows) + 15 * 2 * pred_p \
+        + 2 * pred_head
+    frame_s = (total - prefill) / FRAMES
+    V5E_PEAK_BF16 = 197e12
+    mfu = flops_frame / frame_s / V5E_PEAK_BF16
+    # int8 weight bytes streamed per frame (talker once, predictor 15x)
+    bytes_frame = (talker_p + head_rows) + 15 * pred_p + pred_head
+    stream_gbps = bytes_frame / frame_s / 1e9
     print(json.dumps({
         "metric": "rtf",
         "value": round(rtf, 4),
@@ -161,6 +181,9 @@ def main() -> None:
         "device": str(dev),
         "talker_layers": cfg.talker.n_layers,
         "weights": "int8",
+        "mfu": round(mfu, 4),
+        "weight_stream_gbps": round(stream_gbps, 1),
+        "ms_per_frame": round(frame_s * 1000, 2),
         "streams_at_rtf_lt_1_measured": streams_rt,
         "batch_rtf_per_stream": batch_rtf,
         "batch_ttft_ms": batch_ttft_ms,

@@ -87,7 +87,13 @@ def main(argv=None) -> int:
                    choices=["float32", "float16"])
     p.add_argument("--list", action="store_true",
                    help="only list tensors (onnx input)")
+    p.add_argument("--summary", action="store_true",
+                   help="print graph summary: ops, inputs, outputs (onnx)")
     args = p.parse_args(argv)
+    if args.summary and args.src.suffix == ".onnx":
+        from .onnx_exec import summarize
+        print(summarize(args.src))
+        return 0
     if args.src.suffix == ".onnx":
         onnx_to_npz(args.src, args.out, list_only=args.list)
     else:

@@ -7,21 +7,30 @@ measured 3.8 ms/frame (bench_micro) vs a ~0.5 ms bandwidth floor.
 
 This kernel runs the WHOLE inner loop in one pallas_call:
 
-  grid = (16 tokens x L layers)   # token 0 = projected talker hidden,
+  grid = (16 tokens,)             # token 0 = projected talker hidden,
                                   # token t>=1 = emb(code_{t-1})
-  * layer weights (int8 + per-channel scales) stream HBM->VMEM per grid
-    step via BlockSpec index maps — the Pallas pipeline double-buffers
-    them, so layer l+1's weights load while layer l computes;
-  * activations, the 16-slot KV cache, and the next-token embedding live
-    in VMEM scratch across grid steps;
+  * the layer loop runs INSIDE the kernel body (lax.fori_loop) with the
+    int8 layer weights streamed HBM->VMEM by hand-rolled double-buffered
+    async DMA — layer l+1 (wrapping to the next token's layer 0) loads
+    while layer l computes.  A v1 of this kernel used grid=(16 x L) with
+    BlockSpec streaming instead; its 96 grid iterations' fixed costs
+    dominated (3.7 ms/frame);
+  * activations, the 16-slot KV cache and the next-token embedding live in
+    VMEM scratch across grid steps;
   * after each token's last layer, logits for ONE 2048-row codebook window
-    (streamed by index map) are computed, the code is argmaxed into SMEM,
-    and the next token's 1024-d embedding row is fetched from the codec
-    table in HBM by a single-row async DMA (2 KB, not a 4 MB table block).
+    (streamed per token by BlockSpec index map) are computed, the code is
+    argmaxed into SMEM, and the next token's 1024-d embedding row is
+    fetched from the codec table in HBM by an aligned-window DMA.
 
-Semantics match models/predictor.predict_frame exactly: greedy per-window
-argmax, rms/qk norms, RoPE at positions 0..15, final-layer logits only for
-windows 0..14 (the last decode is skipped, engine.rs:602).
+Heads stay PACKED in the lane dimension throughout (Mosaic cannot reshape
+the lane dim into [heads, dh]): the q columns of wqkv and the rows of wo
+are pre-permuted into grouped order so GQA expansion is a lane concat,
+per-head reductions go through 0/1 segment-sum matmuls, and rotate_half is
+two lane-rolls plus an iota mask.
+
+Semantics match models/predictor.predict_frame exactly (verified in Pallas
+interpret mode: tests/test_predictor_kernel.py); on hardware Mosaic's bf16
+rounding can flip greedy near-ties with random weights.
 """
 
 from __future__ import annotations
@@ -38,17 +47,6 @@ from jax.experimental.pallas import tpu as pltpu
 N_TOKENS = 16          # [hidden, emb(code0), emb(code_1..14)]
 N_WINDOWS = 15         # codebooks 1..15
 _DEBUG = False         # pl.debug_print of per-token magnitudes
-
-
-def _rms(x, w, eps):
-    xf = x.astype(jnp.float32)
-    return (xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
-                               + eps)) * w.astype(jnp.float32)
-
-
-def _rotate_half(x):
-    h = x.shape[-1] // 2
-    return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
 
 
 def _blk_rotate_half(x, dh):
@@ -76,23 +74,49 @@ def _blk_rms(x, w_tiled, seg, eps):
     return xf * inv_b * w_tiled
 
 
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    return (xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                               + eps)) * w.astype(jnp.float32)
+
+
+def _qmm(x_bf16, w_int8, scale_row):
+    """bf16 x [B, in] @ int8 w [in, out] * scale [out] with the same
+    rounding structure as ops.quant.matmul (bf16 dot output, bf16 scale)."""
+    y = jax.lax.dot_general(
+        x_bf16, w_int8.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    return y * scale_row.astype(jnp.bfloat16)
+
+
 def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
             ln1_ref, ln2_ref, qn_ref, kn_ref, seg_q_ref, seg_k_ref,
-            wqkv_q, wqkv_s, wo_q, wo_s, gu_q, gu_s, dn_q, dn_s,
-            fn_ref, head_q, head_s, tables_ref,
-            codes_ref,                                   # out (SMEM)
-            x_sc, xnext_sc, win_sc, kc_sc, vc_sc, dma_sems,  # scratch
+            wqkv_s, wo_s, gu_s, dn_s, fn_ref, head_q, head_s,
+            wqkv_hbm, wo_hbm, gu_hbm, dn_hbm, tables_ref,
+            codes_ref,                                       # out (SMEM)
+            x_sc, xnext_sc, win_sc, kc_sc, vc_sc,            # scratch
+            wqkv_buf, wo_buf, gu_buf, dn_buf, dma_sems, wsems,
             *, cfg_static):
     (L, B, H, HKV, DH, D, EPS) = cfg_static
-    i = pl.program_id(0)
-    t = i // L
-    l = i % L
+    t = pl.program_id(0)
     rep = H // HKV
-    dq = H * DH                                          # packed q lanes
-    dkv = HKV * DH                                       # packed kv lanes
+    dq = H * DH
+    dkv = HKV * DH
 
-    # ---- token feed: layer 0 loads the current token's activation
-    @pl.when(jnp.logical_and(l == 0, t == 0))
+    def weight_dmas(l, slot):
+        return [
+            pltpu.make_async_copy(wqkv_hbm.at[l], wqkv_buf.at[slot],
+                                  wsems.at[slot, 0]),
+            pltpu.make_async_copy(wo_hbm.at[l], wo_buf.at[slot],
+                                  wsems.at[slot, 1]),
+            pltpu.make_async_copy(gu_hbm.at[l], gu_buf.at[slot],
+                                  wsems.at[slot, 2]),
+            pltpu.make_async_copy(dn_hbm.at[l], dn_buf.at[slot],
+                                  wsems.at[slot, 3]),
+        ]
+
+    # ---- token feed
+    @pl.when(t == 0)
     def _():
         x_sc[...] = x0_ref[...]
         # zero the KV scratch: unwritten future slots otherwise hold
@@ -101,125 +125,134 @@ def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
         vc_sc[...] = jnp.zeros_like(vc_sc)
         for b in range(B):
             codes_ref[b, 0] = code0_ref[b, 0]
+        # warm-up: layer 0 weights into slot 0
+        for dma in weight_dmas(0, 0):
+            dma.start()
 
-    @pl.when(jnp.logical_and(l == 0, t > 0))
+    @pl.when(t > 0)
     def _():
         x_sc[...] = xnext_sc[...]
 
-    # ---- one transformer layer on x_sc [B, D].  Heads stay PACKED in the
-    # lane dim throughout (q in grouped-permuted order, baked into the
-    # weights): Mosaic cannot reshape the lane dim into [heads, dh].
-    x = x_sc[...]
     seg_q = seg_q_ref[...]                               # [dq, H] f32
     seg_k = seg_k_ref[...]                               # [dkv, HKV] f32
-    hn = _rms(x, ln1_ref[0, 0], EPS).astype(jnp.bfloat16)
-    # mirror ops.quant.matmul numerics: bf16 dot output, bf16 scales
-    qkv = (jax.lax.dot_general(
-        hn, wqkv_q[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-        * wqkv_s[0, 0].astype(jnp.bfloat16))
-    q = qkv[:, :dq]                                      # [B, dq] permuted
-    k = qkv[:, dq: dq + dkv]                             # [B, dkv]
-    v = qkv[:, dq + dkv:]                                # [B, dkv]
-    q = _blk_rms(q, qn_ref[0, 0], seg_q, EPS).astype(jnp.bfloat16)
-    k = _blk_rms(k, kn_ref[0, 0], seg_k, EPS).astype(jnp.bfloat16)
-    cos_q = cos_ref[pl.ds(t, 1), :dq]                    # [1, dq] f32
-    sin_q = sin_ref[pl.ds(t, 1), :dq]
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    q = (qf * cos_q + _blk_rotate_half(qf, DH) * sin_q).astype(jnp.bfloat16)
-    k = (kf * cos_q[:, :dkv]
-         + _blk_rotate_half(kf, DH) * sin_q[:, :dkv]).astype(jnp.bfloat16)
 
-    # cache layout [L, S, B, dkv]: the dynamic (layer, slot) indices land
-    # on untiled leading dims — Mosaic requires the tiled sublane dim to be
-    # statically 8-aligned, which an arbitrary slot t is not
-    kc_sc[l, t] = k.astype(jnp.bfloat16)
-    vc_sc[l, t] = v.astype(jnp.bfloat16)
+    def layer_body(l, x):
+        # slot parity follows the GLOBAL layer counter t*L + l so the
+        # prefetch issued at the previous layer (possibly previous token)
+        # lands in the slot this layer reads
+        gidx = t * L + l
+        slot = jax.lax.rem(gidx, 2)
+        for dma in weight_dmas(l, slot):
+            dma.wait()
+        # prefetch the next layer (wraps to layer 0 of the next token)
+        nl = jax.lax.rem(l + 1, L)
+        nslot = jax.lax.rem(gidx + 1, 2)
 
-    ks = kc_sc[l].astype(jnp.float32)                    # [S, B, dkv]
-    vs = vc_sc[l].astype(jnp.float32)
-    # grouped expansion = concat of `rep` copies (q head order is permuted
-    # so replica c of kv head j sits at packed position c*HKV + j)
-    kh = jnp.concatenate([ks] * rep, axis=-1)            # [S, B, dq]
-    vh = jnp.concatenate([vs] * rep, axis=-1)
-    prod = q.astype(jnp.float32)[None, :, :] * kh        # [S, B, dq]
-    scores = jax.lax.dot_general(
-        prod, seg_q, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * (DH ** -0.5)   # [S, B, H]
-    s_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-    scores = jnp.where(s_ids <= t, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=0)
-    pexp = jax.lax.dot_general(
-        probs, seg_q, (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [S, B, dq]
-    ctx = jnp.sum(pexp * vh, axis=0)                     # [B, dq] permuted
-    attn = ctx.astype(jnp.bfloat16)
-    xo = (jax.lax.dot_general(
-        attn, wo_q[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-        * wo_s[0, 0].astype(jnp.bfloat16))
-    x = x + xo                                           # bf16, like XLA
+        @pl.when(gidx + 1 < N_TOKENS * L)
+        def _():
+            for dma in weight_dmas(nl, nslot):
+                dma.start()
 
-    hn2 = _rms(x, ln2_ref[0, 0], EPS).astype(jnp.bfloat16)
-    gu = (jax.lax.dot_general(
-        hn2, gu_q[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-        * gu_s[0, 0].astype(jnp.bfloat16))
-    f_half = gu.shape[-1] // 2
-    # bf16 silu trips a Mosaic broadcast verifier; compute in f32, round to
-    # bf16 before the gate multiply (same rounding structure as XLA)
-    gf = gu[:, :f_half].astype(jnp.float32)
-    ff = (gf * jax.nn.sigmoid(gf)).astype(jnp.bfloat16) * gu[:, f_half:]
-    xd = (jax.lax.dot_general(
-        ff, dn_q[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-        * dn_s[0, 0].astype(jnp.bfloat16))
-    x = x + xd
-    x_sc[...] = x.astype(x_sc.dtype)
+        wqkv = wqkv_buf[slot]                            # [D, qkv_out] int8
+        wo = wo_buf[slot]
+        gu_w = gu_buf[slot]
+        dn_w = dn_buf[slot]
 
-    # ---- last layer of token t: logits window -> code -> next embedding
-    @pl.when(l == L - 1)
+        hn = _rms(x, ln1_ref[l, 0], EPS).astype(jnp.bfloat16)
+        qkv = _qmm(hn, wqkv, wqkv_s[l, 0])
+        q = qkv[:, :dq]                                  # [B, dq] permuted
+        k = qkv[:, dq: dq + dkv]
+        v = qkv[:, dq + dkv:]
+        q = _blk_rms(q, qn_ref[l, 0], seg_q, EPS).astype(jnp.bfloat16)
+        k = _blk_rms(k, kn_ref[l, 0], seg_k, EPS).astype(jnp.bfloat16)
+        cos_q = cos_ref[pl.ds(t, 1), :dq]                # [1, dq] f32
+        sin_q = sin_ref[pl.ds(t, 1), :dq]
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        q = (qf * cos_q
+             + _blk_rotate_half(qf, DH) * sin_q).astype(jnp.bfloat16)
+        k = (kf * cos_q[:, :dkv]
+             + _blk_rotate_half(kf, DH) * sin_q[:, :dkv]
+             ).astype(jnp.bfloat16)
+
+        # cache layout [L, S, B, dkv]: dynamic (layer, slot) indices land
+        # on untiled leading dims (tiled sublane dims need static 8-align)
+        kc_sc[l, t] = k
+        vc_sc[l, t] = v
+
+        ks = kc_sc[l].astype(jnp.float32)                # [S, B, dkv]
+        vs = vc_sc[l].astype(jnp.float32)
+        # grouped expansion = concat of `rep` copies (q head order is
+        # permuted so replica c of kv head j sits at position c*HKV + j)
+        kh = jnp.concatenate([ks] * rep, axis=-1)        # [S, B, dq]
+        vh = jnp.concatenate([vs] * rep, axis=-1)
+        prod = q.astype(jnp.float32)[None, :, :] * kh    # [S, B, dq]
+        scores = jax.lax.dot_general(
+            prod, seg_q, (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * (DH ** -0.5)  # [S, B, H]
+        s_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+        scores = jnp.where(s_ids <= t, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=0)
+        pexp = jax.lax.dot_general(
+            probs, seg_q, (((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [S, B, dq]
+        ctx = jnp.sum(pexp * vh, axis=0)                 # [B, dq] permuted
+        x = x + _qmm(ctx.astype(jnp.bfloat16), wo, wo_s[l, 0])
+
+        hn2 = _rms(x, ln2_ref[l, 0], EPS).astype(jnp.bfloat16)
+        gup = _qmm(hn2, gu_w, gu_s[l, 0])
+        f_half = gup.shape[-1] // 2
+        # bf16 silu trips a Mosaic broadcast verifier; compute in f32,
+        # round to bf16 before the gate multiply (same rounding as XLA)
+        gf = gup[:, :f_half].astype(jnp.float32)
+        ff = (gf * jax.nn.sigmoid(gf)).astype(jnp.bfloat16) \
+            * gup[:, f_half:]
+        x = x + _qmm(ff, dn_w, dn_s[l, 0])
+        return x
+
+    x = jax.lax.fori_loop(0, L, layer_body, x_sc[...])
+    x_sc[...] = x
+
+    # ---- logits window -> code -> next-token embedding
+    hf = _rms(x, fn_ref[0], EPS).astype(jnp.bfloat16)
+    logits = jax.lax.dot_general(
+        hf, head_q[...].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * head_s[0, 0].astype(
+            jnp.float32)                                  # [B, 2048]
+
+    if _DEBUG:
+        pl.debug_print("t={} |x|={} |logits|={}", t,
+                       jnp.max(jnp.abs(x)), jnp.max(jnp.abs(logits)))
+
+    @pl.when(t >= 1)
     def _():
-        hf = _rms(x, fn_ref[0], EPS).astype(jnp.bfloat16)
-        logits = jax.lax.dot_general(
-            hf, head_q[...].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * head_s[0, 0].astype(
-                jnp.float32)                              # [B, 2048]
+        for b in range(B):
+            codes_ref[b, t] = jnp.argmax(logits[b]).astype(jnp.int32)
 
-        if _DEBUG:
-            pl.debug_print("t={} |x|={} |logits|={}", t,
-                           jnp.max(jnp.abs(x)), jnp.max(jnp.abs(logits)))
-
-        @pl.when(t >= 1)
-        def _():
-            for b in range(B):
-                codes_ref[b, t] = jnp.argmax(logits[b]).astype(jnp.int32)
-
-        # next token t+1 = tables[t][code_t]  (code_0 comes from input).
-        # HBM row slices must be 8-aligned, so DMA the aligned 8-row
-        # window and mask-select the row in VMEM.
-        @pl.when(t < N_TOKENS - 1)
-        def _():
-            for b in range(B):
-                ci = codes_ref[b, t]
-                aligned = (ci // 8) * 8
-                pltpu.make_async_copy(
-                    tables_ref.at[t, pl.ds(aligned, 8), :],
-                    win_sc.at[b],
-                    dma_sems.at[b]).start()
-            for b in range(B):
-                pltpu.make_async_copy(
-                    tables_ref.at[t, pl.ds(0, 8), :],
-                    win_sc.at[b],
-                    dma_sems.at[b]).wait()
-            row = jax.lax.broadcasted_iota(jnp.int32, (B, 8, D), 1)
-            off = jnp.zeros((B, 1, 1), jnp.int32)
-            bidx = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
-            for b in range(B):
-                off = jnp.where(bidx == b, codes_ref[b, t] % 8, off)
-            sel = jnp.where(row == off, win_sc[...], 0.0)
-            xnext_sc[...] = jnp.sum(sel, axis=1).astype(xnext_sc.dtype)
+    # next token t+1 = tables[t][code_t]  (code_0 comes from input).
+    # HBM row slices must be 8-aligned, so DMA the aligned 8-row window
+    # and mask-select the row in VMEM.
+    @pl.when(t < N_TOKENS - 1)
+    def _():
+        for b in range(B):
+            ci = codes_ref[b, t]
+            aligned = (ci // 8) * 8
+            pltpu.make_async_copy(
+                tables_ref.at[t, pl.ds(aligned, 8), :],
+                win_sc.at[b],
+                dma_sems.at[b]).start()
+        for b in range(B):
+            pltpu.make_async_copy(
+                tables_ref.at[t, pl.ds(0, 8), :],
+                win_sc.at[b],
+                dma_sems.at[b]).wait()
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, 8, D), 1)
+        off = jnp.zeros((B, 1, 1), jnp.int32)
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
+        for b in range(B):
+            off = jnp.where(bidx == b, codes_ref[b, t] % 8, off)
+        sel = jnp.where(row == off, win_sc[...].astype(jnp.float32), 0.0)
+        xnext_sc[...] = jnp.sum(sel, axis=1).astype(xnext_sc.dtype)
 
 
 @functools.partial(jax.jit,
@@ -227,24 +260,20 @@ def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
 def _call(x0, code0, cos, sin, layer_w, fn, head_q, head_s, tables,
           cfg_static, interpret=False):
     (L, B, H, HKV, DH, D, EPS) = cfg_static
-    grid = (N_TOKENS * L,)
+    grid = (N_TOKENS,)
     d_ff2 = layer_w["gu_q"].shape[-1]
     d_ff = layer_w["dn_q"].shape[-2]
     qkv_out = layer_w["wqkv_q"].shape[-1]
 
-    def per_layer(shape):
-        return pl.BlockSpec(shape, lambda i: (i % L,) + (0,) * (len(shape) - 1),
-                            memory_space=pltpu.VMEM)
-
     def per_window(shape):
         # head rows for window w = max(t-1, 0); harmless prefetch at t=0
-        def idx(i):
-            t = i // L
+        def idx(t):
             return (jnp.maximum(t - 1, 0),) + (0,) * (len(shape) - 1)
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
 
     fixed = lambda shape, space=pltpu.VMEM: pl.BlockSpec(
-        shape, lambda i: (0,) * len(shape), memory_space=space)
+        shape, lambda t: (0,) * len(shape), memory_space=space)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
 
     kernel = functools.partial(_kernel, cfg_static=cfg_static)
     codes = pl.pallas_call(
@@ -255,34 +284,39 @@ def _call(x0, code0, cos, sin, layer_w, fn, head_q, head_s, tables,
             fixed((B, 1), pltpu.SMEM),                    # code0
             fixed((N_TOKENS, H * DH)),                    # cos (lane-packed)
             fixed((N_TOKENS, H * DH)),                    # sin
-            per_layer((1, 1, D)),                         # ln1
-            per_layer((1, 1, D)),                         # ln2
-            per_layer((1, 1, H * DH)),                    # q_norm (tiled)
-            per_layer((1, 1, HKV * DH)),                  # k_norm (tiled)
+            fixed((L, 1, D)),                             # ln1 (all layers)
+            fixed((L, 1, D)),                             # ln2
+            fixed((L, 1, H * DH)),                        # q_norm (tiled)
+            fixed((L, 1, HKV * DH)),                      # k_norm (tiled)
             fixed((H * DH, H)),                           # seg_q
             fixed((HKV * DH, HKV)),                       # seg_k
-            per_layer((1, D, qkv_out)),                   # wqkv q
-            per_layer((1, 1, qkv_out)),                   # wqkv s
-            per_layer((1, H * DH, D)),                    # wo q
-            per_layer((1, 1, D)),                         # wo s
-            per_layer((1, D, d_ff2)),                     # gate_up q
-            per_layer((1, 1, d_ff2)),                     # gate_up s
-            per_layer((1, d_ff, D)),                      # down q
-            per_layer((1, 1, D)),                         # down s
+            fixed((L, 1, qkv_out)),                       # wqkv scales
+            fixed((L, 1, D)),                             # wo scales
+            fixed((L, 1, d_ff2)),                         # gate_up scales
+            fixed((L, 1, D)),                             # down scales
             fixed((1, D)),                                # final norm
             per_window((2048, D)),                        # head rows (int8)
             per_window((1, 1, 2048)),                     # head scales
-            pl.BlockSpec(memory_space=pltpu.ANY),         # codec tables
+            hbm,                                          # wqkv int8 [L,D,out]
+            hbm,                                          # wo int8
+            hbm,                                          # gate_up int8
+            hbm,                                          # down int8
+            hbm,                                          # codec tables
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((B, N_TOKENS), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((B, D), jnp.bfloat16),             # x (residual, =XLA dtype)
+            pltpu.VMEM((B, D), jnp.bfloat16),             # x (residual)
             pltpu.VMEM((B, D), jnp.bfloat16),             # xnext
             pltpu.VMEM((B, 8, D), jnp.bfloat16),          # dma row windows
-            pltpu.VMEM((L, N_TOKENS, B, HKV * DH), jnp.bfloat16),  # K packed
-            pltpu.VMEM((L, N_TOKENS, B, HKV * DH), jnp.bfloat16),  # V packed
+            pltpu.VMEM((L, N_TOKENS, B, HKV * DH), jnp.bfloat16),  # K
+            pltpu.VMEM((L, N_TOKENS, B, HKV * DH), jnp.bfloat16),  # V
+            pltpu.VMEM((2, D, qkv_out), jnp.int8),        # wqkv slots
+            pltpu.VMEM((2, H * DH, D), jnp.int8),         # wo slots
+            pltpu.VMEM((2, D, d_ff2), jnp.int8),          # gate_up slots
+            pltpu.VMEM((2, d_ff, D), jnp.int8),           # down slots
             pltpu.SemaphoreType.DMA((B,)),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -290,9 +324,10 @@ def _call(x0, code0, cos, sin, layer_w, fn, head_q, head_s, tables,
     )(x0, code0, cos, sin,
       layer_w["ln1"], layer_w["ln2"], layer_w["qn"], layer_w["kn"],
       layer_w["seg_q"], layer_w["seg_k"],
-      layer_w["wqkv_q"], layer_w["wqkv_s"], layer_w["wo_q"], layer_w["wo_s"],
-      layer_w["gu_q"], layer_w["gu_s"], layer_w["dn_q"], layer_w["dn_s"],
-      fn, head_q, head_s, tables)
+      layer_w["wqkv_s"], layer_w["wo_s"], layer_w["gu_s"], layer_w["dn_s"],
+      fn, head_q, head_s,
+      layer_w["wqkv_q"], layer_w["wo_q"], layer_w["gu_q"], layer_w["dn_q"],
+      tables)
     return codes
 
 
@@ -337,6 +372,7 @@ def _prep_layer_weights(cfg, params) -> Dict[str, Any]:
     wqkv_q = jnp.concatenate([wqkv_q[..., :, pj], wqkv_q[..., :, dq:]], -1)
     wqkv_s = jnp.concatenate([wqkv_s[..., pj], wqkv_s[..., dq:]], -1)
     wo_q = wo_q[..., pj, :]                         # input rows = attn lanes
+
     def mid(a):     # [L, n] -> [L, 1, n]: unit middle dim so BlockSpec
         return a[:, None, :]  # blocks match the array's trailing dims
 
@@ -402,9 +438,8 @@ def predict_frame_fused(cfg, params, h1024, code0, codec_tables_1024,
     n_vocab = head_q.shape[0]
     head_s2 = head_s.astype(jnp.float32).reshape(n_vocab // 2048, 1, 2048)
 
-    # the kernel feeds tables[t] for token t+1; predict_frame uses table q
-    # for step q's embedding, i.e. token t+1 = tables[t][code_t] -> pass
-    # tables 0..14 (codebooks 0..14; table 15 is never fed back)
+    # the kernel feeds tables[t] for token t+1 (predict_frame uses table q
+    # for step q's embedding) -> tables 0..14; table 15 is never fed back
     tables = codec_tables_1024[:N_TOKENS - 1].astype(jnp.bfloat16)
 
     x0 = h1024.astype(jnp.bfloat16)

@@ -86,6 +86,29 @@ def prefill(cfg: EngineConfig, talker_params, embeds: jnp.ndarray,
         key=key)
 
 
+def _predict_frame_dispatch(cfg: EngineConfig, predictor_params, h1024,
+                            code0, tables_1024):
+    """Pick the predictor inner-loop implementation.
+
+    Default: the fused XLA path (models.predictor.predict_frame).  Setting
+    QTTS_FUSED_PREDICTOR=1 opts into the single-launch Pallas kernel
+    (kernels/predictor_frame.py) on TPU for decode-shaped batches — ~15-20%
+    faster per frame, but Mosaic's bf16 rounding may flip greedy near-ties
+    relative to the XLA path (identical in interpret mode; see the kernel
+    docstring)."""
+    import os
+    if os.environ.get("QTTS_FUSED_PREDICTOR") == "1":
+        from ..kernels.flash_decode import use_flash_decode
+        from ..kernels.predictor_frame import (predict_frame_fused,
+                                               supported)
+        if use_flash_decode() and supported(cfg.predictor,
+                                            int(h1024.shape[0])):
+            return predict_frame_fused(cfg.predictor, predictor_params,
+                                       h1024, code0, tables_1024)
+    return predictor_lib.predict_frame(
+        cfg.predictor, predictor_params, h1024, code0, tables_1024)
+
+
 def gen_frames(cfg: EngineConfig, talker_params, predictor_params,
                assets_pack: Dict[str, Any], state: GenState,
                sampler: SamplerParams, n_frames: int, prompt_cap: int,
@@ -110,8 +133,8 @@ def gen_frames(cfg: EngineConfig, talker_params, predictor_params,
         done = state.done | eos
 
         h1024 = (state.hidden.astype(jnp.float32) @ proj_w.T + proj_b)
-        codes = predictor_lib.predict_frame(
-            cfg.predictor, predictor_params, h1024, code0, tables_1024)
+        codes = _predict_frame_dispatch(cfg, predictor_params, h1024, code0,
+                                        tables_1024)
 
         frame_emb = _frame_emb_sum(assets_pack["codec_tables"], codes)
         feedback = frame_emb + tts_pad  # [B, 2048]
