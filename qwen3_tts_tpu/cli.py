@@ -48,6 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print JSON metrics after generation")
     p.add_argument("--skip-download", action="store_true",
                    help="do not try to fetch missing model files")
+    p.add_argument("--config", type=Path, default=None,
+                   help="engine config file (json/toml) overriding defaults")
     p.add_argument("--audition-voice", type=Path,
                    help="decode a VoiceFile's reference codes to WAV and exit")
     return p
@@ -72,7 +74,12 @@ def main(argv=None) -> int:
             print("[warn] continuing with random-init weights "
                   "(development mode)", file=sys.stderr)
 
-    engine = TtsEngine(model_dir=args.model_dir, quant=args.quant)
+    cfg = None
+    if args.config:
+        from .core.config import EngineConfig
+        cfg = EngineConfig.from_file(args.config)
+    engine = TtsEngine(model_dir=args.model_dir, quant=args.quant,
+                       config=cfg)
     if args.audition_voice:
         vf = VoiceFile.load(args.audition_voice)
         audio = engine.decode_codes(vf.audio_codes)

@@ -250,3 +250,43 @@ class EngineConfig:
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)
+
+    # ------------------------------------------------- structured config IO
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_dict(data: dict) -> "EngineConfig":
+        """Build from a (possibly partial) nested dict: unknown keys raise,
+        missing keys keep defaults.  The inverse of to_dict()."""
+        base = EngineConfig()
+        sub = {f.name: f.type for f in dataclasses.fields(EngineConfig)}
+        kw = {}
+        for key, val in data.items():
+            if key not in sub:
+                raise ValueError(f"unknown EngineConfig field {key!r}")
+            cur = getattr(base, key)
+            if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+                names = {f.name for f in dataclasses.fields(cur)}
+                bad = set(val) - names
+                if bad:
+                    raise ValueError(f"unknown {key} fields {sorted(bad)}")
+                fixed = {k: tuple(v) if isinstance(v, list) else v
+                         for k, v in val.items()}
+                kw[key] = dataclasses.replace(cur, **fixed)
+            else:
+                kw[key] = val
+        return base.replace(**kw)
+
+    @staticmethod
+    def from_file(path) -> "EngineConfig":
+        """Load a json or toml config file (the reference hardcodes its
+        engine parameters; here they are data, SURVEY §5 config row)."""
+        from pathlib import Path
+        path = Path(path)
+        text = path.read_text()
+        if path.suffix == ".toml":
+            import tomllib
+            return EngineConfig.from_dict(tomllib.loads(text))
+        import json
+        return EngineConfig.from_dict(json.loads(text))

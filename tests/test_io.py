@@ -84,3 +84,37 @@ def test_stereo_wav_mono_fold(tmp_path):
     mono = load_reference_wav(path)
     assert mono.shape == (200,)
     np.testing.assert_allclose(mono, left, atol=1e-3)
+
+
+def test_engine_config_from_dict_and_file(tmp_path):
+    """Structured config (json/toml) round-trips through EngineConfig —
+    the reference hardcodes these values (engine.rs:133-136); here they
+    are data."""
+    import json
+    import pytest
+    from qwen3_tts_tpu.core.config import EngineConfig
+
+    cfg = EngineConfig.from_dict(
+        {"runtime": {"max_steps": 99, "frames_per_chunk": 8},
+         "lang_id": 2056})
+    assert cfg.runtime.max_steps == 99
+    assert cfg.runtime.frames_per_chunk == 8
+    assert cfg.lang_id == 2056
+    assert cfg.talker.n_layers == EngineConfig().talker.n_layers  # default
+
+    with pytest.raises(ValueError, match="unknown"):
+        EngineConfig.from_dict({"runtime": {"not_a_field": 1}})
+    with pytest.raises(ValueError, match="unknown"):
+        EngineConfig.from_dict({"nope": {}})
+
+    path = tmp_path / "cfg.json"
+    path.write_text(json.dumps({"runtime": {"max_steps": 7}}))
+    assert EngineConfig.from_file(path).runtime.max_steps == 7
+
+    toml = tmp_path / "cfg.toml"
+    toml.write_text("[talker]\nn_layers = 3\n")
+    assert EngineConfig.from_file(toml).talker.n_layers == 3
+
+    # full round trip
+    d = EngineConfig.tiny().to_dict()
+    assert EngineConfig.from_dict(d) == EngineConfig.tiny()
