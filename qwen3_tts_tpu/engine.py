@@ -313,6 +313,12 @@ class TtsEngine:
                 lengths = jnp.full((b,), bucket, jnp.int32)
                 state = self.generator.start(embeds, lengths,
                                              jax.random.PRNGKey(0))
+                if self.onnx_decoder is not None:
+                    state, codes, valid = self.generator.chunk(
+                        state, sampler, prompt_cap=bucket, n_frames=frames)
+                    from .utils.sync import hard_sync
+                    hard_sync(codes)
+                    continue
                 dec_state = codec_decoder.init_decoder_state(
                     self.config.codec_decoder, self.codec_decoder_params,
                     batch=b)
@@ -321,6 +327,14 @@ class TtsEngine:
                     n_frames=frames)
                 from .utils.sync import hard_sync
                 hard_sync(out[-1])
+        if self.onnx_decoder is not None:
+            # warm the streaming-decoder programs for the first few
+            # state-length signatures (they grow until the graph's windows
+            # saturate)
+            st = self.onnx_decoder.create_state()
+            dummy = np.zeros((frames, P.NUM_CODEBOOKS), np.int64)
+            for _ in range(3):
+                _, st = self.onnx_decoder.decode(dummy, st)
 
     def decode_codes(self, codes) -> AudioSample:
         """Decode raw codec codes ([frames, 16] or flattened) to audio —
