@@ -96,6 +96,11 @@ class TtsEngine:
             seed=self.config.sampler.seed)
         self.speakers: Dict[str, VoiceFile] = {}
         self.last_metrics: Optional[GenerationMetrics] = None
+        import collections
+        import os as _os
+        self._prefix_kv = collections.OrderedDict()
+        self._prefix_kv_max = int(_os.environ.get("QTTS_PREFIX_CACHE_SIZE",
+                                                  "4"))
 
         quant_dir = QUANT_DIRS.get(quant, "gguf")
         weights_dir = self.model_dir / quant_dir
@@ -524,19 +529,13 @@ class TtsEngine:
                       f"(t+{(time.perf_counter()-t_start)*1000:.0f} ms)",
                       flush=True)
 
-        bucket = self._bucket(plan.length)
-        embeds, lengths = self.prompt_to_device(plan, bucket)
-        if trace:
-            from .utils.sync import hard_sync as _hs
-            _hs(embeds)
-        tlog("prompt assembled")
-
         seed = self.sampler_config.seed
         if seed is None:
             seed = time.time_ns() & 0x7FFFFFFFFFFFFFFF
         key = jax.random.PRNGKey(seed)
 
-        state = self.generator.start(embeds, lengths, key)
+        state, bucket = self._start_state(plan, key)
+        tlog("prompt assembled")
         if trace:
             from .utils.sync import hard_sync as _hs
             _hs(state.logits)
@@ -627,6 +626,48 @@ class TtsEngine:
         while b < s and b < cap:
             b *= 2
         return min(max(b, 32), cap)
+
+    # ------------------------------------------------- prefix-KV reuse
+    PREFIX_CACHE_MIN_ROWS = 64     # below this a prefix prefill is cheap
+
+    def _start_state(self, plan: PromptPlan, key):
+        """Prefill, reusing the prompt-prefix KV when this voice+instruction
+        was seen before.  A clone prompt's prefix (ref codes + ref text) is
+        hundreds of rows re-prefilled per sentence by generate_long — with
+        the cache only the task text prefills.  Disable with
+        QTTS_PREFIX_CACHE=0."""
+        import os
+        use_prefix = (os.environ.get("QTTS_PREFIX_CACHE", "1") != "0"
+                      and plan.prefix_len >= self.PREFIX_CACHE_MIN_ROWS
+                      and plan.length <= self.config.runtime.max_prompt_len)
+        if not use_prefix:
+            bucket = self._bucket(plan.length)
+            embeds, lengths = self.prompt_to_device(plan, bucket)
+            return self.generator.start(embeds, lengths, key), bucket
+
+        p_cap = ((plan.prefix_len + 63) // 64) * 64
+        suffix = plan.suffix_plan()
+        s_cap = ((suffix.length + 31) // 32) * 32
+        bucket = self._bucket(max(plan.length, p_cap,
+                                  plan.prefix_len + s_cap))
+        fp = (plan.prefix_fingerprint(), p_cap)
+        entry = self._prefix_kv.get(fp)
+        if entry is not None:
+            self._prefix_kv.move_to_end(fp)
+            embeds_s, lens_s = self.prompt_to_device(suffix, s_cap)
+            return self.generator.start_with_prefix(
+                entry[0], entry[1], plan.prefix_len, embeds_s,
+                jnp.asarray(lens_s), key, total_bucket=bucket), bucket
+
+        embeds, lengths = self.prompt_to_device(plan, bucket)
+        state = self.generator.start(embeds, lengths, key)
+        # Free extraction: slots [0, p_cap) of this prefill ARE the prefix
+        # KV (positions/masks identical by construction).
+        self._prefix_kv[fp] = (state.cache.k[:, :, :, :p_cap],
+                               state.cache.v[:, :, :, :p_cap])
+        while len(self._prefix_kv) > self._prefix_kv_max:
+            self._prefix_kv.popitem(last=False)
+        return state, bucket
 
     def _warn_dev_mode(self) -> None:
         """Loudly flag components running on random weights: a production

@@ -57,10 +57,38 @@ class PromptPlan:
     frames: np.ndarray       # [F, 16] int32 reference codec frames (F >= 1)
     spk_emb: np.ndarray      # [2048] float32
     text_ids: List[int]
+    # rows before the task-text section (instruct/assistant/control/speaker/
+    # clone blocks) — identical across requests with the same voice +
+    # instruction, so their KV is reusable (engine prefix cache)
+    prefix_len: int = 0
 
     @property
     def length(self) -> int:
         return int(self.text_idx.shape[0])
+
+    def suffix_plan(self) -> "PromptPlan":
+        """The task-text + activation rows only (positions prefix_len..).
+        Suffix rows never reference frames or the speaker embedding, so
+        those fields shrink to dummies."""
+        p = self.prefix_len
+        return PromptPlan(
+            text_idx=self.text_idx[p:], codec_idx=self.codec_idx[p:],
+            frame_slot=self.frame_slot[p:], spk_flag=self.spk_flag[p:],
+            frames=np.zeros((1, self.frames.shape[1]), np.int32),
+            spk_emb=np.zeros_like(self.spk_emb), text_ids=self.text_ids,
+            prefix_len=0)
+
+    def prefix_fingerprint(self) -> str:
+        """Content hash of the prefix rows (voice identity + instruction +
+        control blocks) for the engine's prefix-KV cache."""
+        import hashlib
+        p = self.prefix_len
+        h = hashlib.sha1()
+        for a in (self.text_idx[:p], self.codec_idx[:p],
+                  self.frame_slot[:p], self.spk_flag[:p], self.frames):
+            h.update(np.ascontiguousarray(a, np.int32).tobytes())
+        h.update(np.ascontiguousarray(self.spk_emb, np.float32).tobytes())
+        return h.hexdigest()
 
     def padded(self, seq_cap: int, frame_cap: int) -> "PromptPlan":
         """Right-pad index arrays to static capacities (for jit reuse)."""
@@ -76,7 +104,8 @@ class PromptPlan:
             codec_idx=pad1(self.codec_idx, -1),
             frame_slot=pad1(self.frame_slot, -1),
             spk_flag=pad1(self.spk_flag, 0),
-            frames=frames, spk_emb=self.spk_emb, text_ids=self.text_ids)
+            frames=frames, spk_emb=self.spk_emb, text_ids=self.text_ids,
+            prefix_len=self.prefix_len)
 
 
 def assemble(text_table: jnp.ndarray, codec_tables: jnp.ndarray,
@@ -199,6 +228,7 @@ class PromptBuilder:
         if mid_rows:
             rows.extend(mid_rows)
 
+        prefix_len = len(rows)   # sections 1-5: reusable across same-voice
         # 6. Task text: BOS_TOKEN + ids + EOS_TOKEN, each + codec PAD.
         ids = [int(t) for t in tokenizer.encode(text)]
         for tid in [P.BOS_TOKEN, *ids, P.EOS_TOKEN]:
@@ -216,7 +246,7 @@ class PromptBuilder:
         return PromptPlan(
             text_idx=arr[:, 0], codec_idx=arr[:, 1], frame_slot=arr[:, 2],
             spk_flag=arr[:, 3], frames=np.asarray(frames, np.int32),
-            spk_emb=se, text_ids=ids)
+            spk_emb=se, text_ids=ids, prefix_len=prefix_len)
 
     # ----------------------------------------- legacy/materialized builders
     @staticmethod

@@ -86,6 +86,69 @@ def prefill(cfg: EngineConfig, talker_params, embeds: jnp.ndarray,
         key=key)
 
 
+def prefill_with_prefix(cfg: EngineConfig, talker_params,
+                        prefix_k: jnp.ndarray, prefix_v: jnp.ndarray,
+                        prefix_len, suffix_embeds: jnp.ndarray,
+                        suffix_lengths, key: jax.Array,
+                        total_bucket: int) -> GenState:
+    """Prefill continuing from a cached prompt prefix.
+
+    The prefix KV (slots [0, prefix_len), padded to the static Pcap block)
+    is injected at slot 0 of a fresh cache; the suffix rows (task text +
+    activation marker) prefill at write cursor `prefix_len` with positions
+    prefix_len..  Validity stays one contiguous range [0, prefix_len +
+    suffix_len), so the existing masks and the flash kernel apply
+    unchanged; slots in [lengths, total_bucket) are invisible exactly like
+    ordinary prompt padding.  `total_bucket` must equal the prompt_cap the
+    decode chunks will use (same capacity formula as `prefill`).
+
+    prefix_k/v: [L, B, Hkv, Pcap, Dh] from a previous prefill's cache;
+    suffix_embeds: [B, Scap, 2048]; prefix_len/suffix_lengths: [B] int32.
+    """
+    b, s_cap, _ = suffix_embeds.shape
+    need = total_bucket + cfg.runtime.max_steps + cfg.runtime.frames_per_chunk
+    capacity = ((need + 511) // 512) * 512
+    cache = talker_lib.init_talker_cache(cfg.talker, b, capacity)
+    zeros5 = (0, 0, 0, 0, 0)
+    cache = cache.replace(
+        k=jax.lax.dynamic_update_slice(cache.k, prefix_k.astype(cache.k.dtype),
+                                       zeros5),
+        v=jax.lax.dynamic_update_slice(cache.v, prefix_v.astype(cache.v.dtype),
+                                       zeros5))
+    prefix_len = jnp.broadcast_to(jnp.asarray(prefix_len, jnp.int32), (b,))
+    suffix_lengths = jnp.asarray(suffix_lengths, jnp.int32)
+    lengths_total = prefix_len + suffix_lengths
+    cache = cache.replace(lengths=lengths_total, write_idx=prefix_len)
+
+    pos = prefix_len[:, None] + jnp.arange(s_cap, dtype=jnp.int32)[None, :]
+    pos4 = jnp.stack([pos, pos, pos, jnp.zeros_like(pos)], axis=-1)
+    cos, sin = talker_lib._rope_tables(cfg.talker, pos4)
+    hidden_all, cache = transformer_forward_suffix(
+        cfg, talker_params, suffix_embeds, cos, sin, cache, total_bucket)
+
+    last = jnp.clip(suffix_lengths - 1, 0, s_cap - 1)
+    hidden = jnp.take_along_axis(hidden_all, last[:, None, None],
+                                 axis=1)[:, 0]
+    logits = talker_lib._codec_logits(talker_params, hidden)
+    # decode region starts at total_bucket, as after an ordinary prefill
+    cache = cache.replace(write_idx=jnp.full((b,), total_bucket, jnp.int32))
+    return GenState(
+        cache=cache, logits=logits, hidden=hidden,
+        pos=lengths_total,
+        step=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((b,), bool),
+        key=key)
+
+
+def transformer_forward_suffix(cfg, talker_params, embeds, cos, sin, cache,
+                               total_bucket: int):
+    from ..models import transformer
+    return transformer.decoder_forward(
+        cfg.talker, talker_params,
+        embeds.astype(jnp.dtype(cfg.talker.dtype)), cos, sin, cache,
+        prompt_cap=total_bucket)
+
+
 def _predict_frame_dispatch(cfg: EngineConfig, predictor_params, h1024,
                             code0, tables_1024):
     """Pick the predictor inner-loop implementation.
@@ -253,6 +316,22 @@ class Generator:
     def start(self, embeds: jnp.ndarray, lengths, key) -> GenState:
         return self._prefill(self.talker_params, embeds,
                              jnp.asarray(lengths, jnp.int32), key)
+
+    def start_with_prefix(self, prefix_k, prefix_v, prefix_len,
+                          suffix_embeds, suffix_lengths, key,
+                          total_bucket: int) -> GenState:
+        """Prefill reusing a cached prompt-prefix KV (see
+        prefill_with_prefix).  total_bucket must be the prompt_cap the
+        decode chunks will use."""
+        if not hasattr(self, "_prefill_prefix"):
+            self._prefill_prefix = jax.jit(
+                functools.partial(prefill_with_prefix, self.cfg),
+                static_argnames=("total_bucket",))
+        return self._prefill_prefix(
+            self.talker_params, prefix_k, prefix_v,
+            jnp.asarray(prefix_len, jnp.int32), suffix_embeds,
+            jnp.asarray(suffix_lengths, jnp.int32), key,
+            total_bucket=total_bucket)
 
     def refill_lane(self, state: GenState, embeds_1: jnp.ndarray, length,
                     lane) -> GenState:
