@@ -667,7 +667,16 @@ class TtsEngine:
                                state.cache.v[:, :, :, :p_cap])
         while len(self._prefix_kv) > self._prefix_kv_max:
             self._prefix_kv.popitem(last=False)
-        return state, bucket
+        # Generate through the continue path even on a miss: the full and
+        # continued prefills tile differently on TPU, so their bf16 logits
+        # differ in the last ulps — enough to flip sampled codes.  Routing
+        # every request through the same path keeps a voice's synthesis
+        # reproducible from the first request on.
+        embeds_s, lens_s = self.prompt_to_device(suffix, s_cap)
+        entry = self._prefix_kv[fp]
+        return self.generator.start_with_prefix(
+            entry[0], entry[1], plan.prefix_len, embeds_s,
+            jnp.asarray(lens_s), key, total_bucket=bucket), bucket
 
     def _warn_dev_mode(self) -> None:
         """Loudly flag components running on random weights: a production
