@@ -173,15 +173,24 @@ def main(argv=None) -> int:
     ap.add_argument("--quant", default="none")
     ap.add_argument("--host", default="0.0.0.0")
     ap.add_argument("--port", type=int, default=8777)
-    ap.add_argument("--batch", type=int, default=0,
-                    help="enable continuous-batching scheduler with N lanes")
+    ap.add_argument("--batch", type=int, default=4,
+                    help="continuous-batching lanes (0 = serialized "
+                         "single-stream per request)")
+    ap.add_argument("--bucket", type=int, default=128,
+                    help="prompt bucket for the batched scheduler")
+    ap.add_argument("--warmup", action="store_true",
+                    help="precompile serving programs before listening")
     args = ap.parse_args(argv)
     from ..engine import TtsEngine
     engine = TtsEngine(model_dir=args.model_dir, quant=args.quant)
+    if args.warmup:
+        engine.warmup(buckets=(args.bucket or 128,),
+                      batch_sizes=(max(args.batch, 1),))
     batcher = None
     if args.batch > 0:
         from .online import OnlineBatcher
-        batcher = OnlineBatcher(engine, batch_size=args.batch).start()
+        batcher = OnlineBatcher(engine, batch_size=args.batch,
+                                bucket=args.bucket).start()
     server = TtsServer(engine, args.host, args.port, batcher=batcher)
     print(f"serving on {args.host}:{server.port}")
     server.start()

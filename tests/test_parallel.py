@@ -123,3 +123,19 @@ def test_tp_placement_quantized(tiny_engine):
     )(params_tp, embeds, jnp.asarray([s]), cache2)
     np.testing.assert_allclose(np.asarray(tp_logits), np.asarray(ref_logits),
                                atol=2e-3)
+
+
+def test_distributed_single_process_degrades():
+    """Multi-host glue: no-op init on a single process, serving mesh uses
+    all local (virtual) devices, lane slice covers everything."""
+    import jax
+    from qwen3_tts_tpu.parallel import distributed as dist
+
+    assert dist.init_distributed() is False          # nothing configured
+    mesh = dist.make_serving_mesh(model_parallel=2)
+    assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
+    assert mesh.shape["model"] == 2
+    with pytest.raises(ValueError, match="divisible"):
+        dist.make_serving_mesh(model_parallel=3)
+    sl = dist.local_lane_slice(mesh, 16)
+    assert (sl.stop - sl.start) == 16                # single process: all
