@@ -119,3 +119,28 @@ def test_prefix_cache_off_by_env(tiny_engine, monkeypatch):
     audio = eng.generate_with_voice("no cache", _clone_voice(seed=3))
     assert np.isfinite(audio.samples).all()
     assert len(eng._prefix_kv) == 0
+
+
+def test_stale_suffix_rows_invisible(tiny_engine, monkeypatch):
+    """The harvested prefix block [prefix_len, p_cap) contains the FIRST
+    request's suffix K/V; a later, different-text request must not see it.
+    On CPU the full and continue paths are bit-identical, so compare the
+    cached run against a cache-off run of the same request."""
+    monkeypatch.setattr(type(tiny_engine), "PREFIX_CACHE_MIN_ROWS", 8)
+    eng = tiny_engine
+    eng.set_max_steps(5)
+    eng._prefix_kv.clear()
+    voice = _clone_voice(n_frames=10, seed=9)
+
+    # populate the cache with a LONGER suffix
+    eng.set_sampler_config(SamplerConfig(seed=33))
+    eng.generate_with_voice("abcdefgh", voice)  # dev tokenizer: 1 id/char
+    # short suffix through the cache
+    eng.set_sampler_config(SamplerConfig(seed=44))
+    cached = eng.generate_with_voice("hi", voice)
+
+    # ground truth: same request, cache disabled
+    monkeypatch.setenv("QTTS_PREFIX_CACHE", "0")
+    eng.set_sampler_config(SamplerConfig(seed=44))
+    plain = eng.generate_with_voice("hi", voice)
+    np.testing.assert_array_equal(cached.samples, plain.samples)
