@@ -19,9 +19,10 @@ valid_samples and the next_* states.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ...core import protocol as P
@@ -81,6 +82,65 @@ class OnnxStreamingDecoder:
                 nxt = "next_" + nxt
             new_state[name] = out[nxt] if nxt in out else state[name]
         return wav, new_state
+
+
+    # ------------------------------------------------------------ batched
+    def decode_batch(self, codes: np.ndarray, states: List[Dict[str, Any]],
+                     is_final: bool = False):
+        """Batched streaming step via jax.vmap for serving lanes whose
+        carried states share shapes (lanes that started together and
+        decode in lockstep — the steady state of wave batching).
+
+        Inside vmap each example traces with its UNBATCHED shapes, so the
+        executor's host shape-folding is untouched and the real graph's
+        batch-1 contract holds per lane.  codes: [B, n, 16]; states: list
+        of B state dicts with identical shapes.  Returns (wavs list of B
+        f32 arrays, new states list).  Falls back to the sequential path
+        if shapes differ.
+        """
+        b = len(states)
+        shapes0 = {k: v.shape for k, v in states[0].items()}
+        if any({k: np.shape(v) for k, v in s.items()} != shapes0
+               for s in states[1:]):
+            out = [self.decode(codes[i], states[i], is_final)
+                   for i in range(b)]
+            return [w for w, _ in out], [s for _, s in out]
+
+        codes = np.asarray(codes, np.int64)
+        n = codes.shape[1]
+        if n == 0:
+            return [np.zeros(0, np.float32)] * b, states
+        frames = np.clip(codes.reshape(b, 1, n, P.NUM_CODEBOOKS),
+                         0, P.CODEBOOK_SIZE - 1)
+        stacked = {k: jnp.stack([jnp.asarray(s[k]) for s in states])
+                   for k in self.state_names}
+        feeds = {"audio_codes": jnp.asarray(frames),
+                 "is_last": jnp.full((b, 1), 1.0 if is_final else 0.0,
+                                     jnp.float32)}
+        feeds.update(stacked)
+        if not hasattr(self, "_vrun"):
+            self._vrun = jax.jit(jax.vmap(self.ex.run, in_axes=(None, 0)))
+        out = self._vrun(self.ex.params, feeds)
+        wav = np.asarray(out["final_wav"], np.float32).reshape(b, -1)
+        if "valid_samples" in out:
+            # host-folded outputs may come back unbatched (vmap constant)
+            flat = np.asarray(out["valid_samples"]).reshape(-1)
+            valid = (flat if flat.size == b
+                     else np.full(b, int(flat[0])))
+        else:
+            valid = np.full(b, wav.shape[1])
+        wavs = [wav[i, : int(valid[i])] for i in range(b)]
+        new_states = []
+        for i in range(b):
+            st = {}
+            for name in self.state_names:
+                nxt = name.replace("past_", "next_")
+                if not nxt.startswith("next_"):
+                    nxt = "next_" + nxt
+                st[name] = (np.asarray(out[nxt][i]) if nxt in out
+                            else states[i][name])
+            new_states.append(st)
+        return wavs, new_states
 
 
 class OnnxAudioEncoder:

@@ -152,3 +152,46 @@ def test_serving_uses_onnx_decoder(onnx_engine):
     assert results[0].frames > 0
     np.testing.assert_allclose(results[0].audio.samples, solo.samples,
                                atol=1e-5)
+
+
+def test_decode_batch_matches_sequential(mini_decoder):
+    """vmap-batched streaming decode equals the per-lane sequential path
+    (lockstep lanes; the graph's batch-1 contract holds per example)."""
+    dec = mini_decoder
+    B, n = 3, 2
+    rng = np.random.default_rng(12)
+    all_codes = rng.integers(0, 20, size=(B, 6, NB))
+    # sequential reference
+    seq_states = [dec.create_state() for _ in range(B)]
+    seq_wavs = [[] for _ in range(B)]
+    for lo in range(0, 6, n):
+        for i in range(B):
+            w, seq_states[i] = dec.decode(all_codes[i, lo:lo + n],
+                                          seq_states[i],
+                                          is_final=(lo == 4))
+            seq_wavs[i].append(w)
+    # batched
+    states = [dec.create_state() for _ in range(B)]
+    bat_wavs = [[] for _ in range(B)]
+    for lo in range(0, 6, n):
+        wavs, states = dec.decode_batch(all_codes[:, lo:lo + n], states,
+                                        is_final=(lo == 4))
+        for i in range(B):
+            bat_wavs[i].append(wavs[i])
+    for i in range(B):
+        np.testing.assert_allclose(np.concatenate(bat_wavs[i]),
+                                   np.concatenate(seq_wavs[i]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_decode_batch_shape_mismatch_falls_back(mini_decoder):
+    dec = mini_decoder
+    rng = np.random.default_rng(13)
+    codes = rng.integers(0, 20, size=(2, 2, NB))
+    s0 = dec.create_state()
+    _, s0 = dec.decode(rng.integers(0, 20, size=(2, NB)), s0)  # advanced
+    s1 = dec.create_state()                                    # fresh
+    wavs, states = dec.decode_batch(codes, [s0, s1])
+    assert len(wavs) == 2
+    for w in wavs:
+        assert np.isfinite(w).all() and w.size == 2 * SPF
