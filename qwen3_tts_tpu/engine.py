@@ -647,9 +647,15 @@ class TtsEngine:
 
         p_cap = ((plan.prefix_len + 63) // 64) * 64
         suffix = plan.suffix_plan()
-        s_cap = ((suffix.length + 31) // 32) * 32
+        s_cap = ((suffix.length + 15) // 16) * 16
         bucket = self._bucket(max(plan.length, p_cap,
                                   plan.prefix_len + s_cap))
+        if plan.prefix_len + s_cap > bucket or p_cap > bucket:
+            # _bucket clamped at max_prompt_len: the suffix pad rows would
+            # spill past the prompt region into decode slots — fall back
+            bucket = self._bucket(plan.length)
+            embeds, lengths = self.prompt_to_device(plan, bucket)
+            return self.generator.start(embeds, lengths, key), bucket
         fp = (plan.prefix_fingerprint(), p_cap)
         entry = self._prefix_kv.get(fp)
         if entry is not None:

@@ -72,19 +72,19 @@ def test_engine_prefix_cache_deterministic(tiny_engine, monkeypatch):
     eng = tiny_engine
     eng.set_max_steps(6)
     eng._prefix_kv.clear()
-    voice = _clone_voice(n_frames=16, seed=1)
+    voice = _clone_voice(n_frames=12, seed=1)
 
     eng.set_sampler_config(SamplerConfig(seed=77))
-    a = eng.generate_with_voice("prefix cache test", voice)
+    a = eng.generate_with_voice("cachetest", voice)
     assert len(eng._prefix_kv) == 1          # miss populated the cache
     eng.set_sampler_config(SamplerConfig(seed=77))
-    b = eng.generate_with_voice("prefix cache test", voice)
+    b = eng.generate_with_voice("cachetest", voice)
     assert len(eng._prefix_kv) == 1          # hit, no new entry
     np.testing.assert_array_equal(a.samples, b.samples)
 
     # different task text, same voice: still a hit, still works
     eng.set_sampler_config(SamplerConfig(seed=78))
-    c = eng.generate_with_voice("another sentence", voice)
+    c = eng.generate_with_voice("more", voice)
     assert np.isfinite(c.samples).all()
     assert len(eng._prefix_kv) == 1
 
@@ -144,3 +144,19 @@ def test_stale_suffix_rows_invisible(tiny_engine, monkeypatch):
     eng.set_sampler_config(SamplerConfig(seed=44))
     plain = eng.generate_with_voice("hi", voice)
     np.testing.assert_array_equal(cached.samples, plain.samples)
+
+
+def test_prefix_near_cap_falls_back(tiny_engine, monkeypatch):
+    """When prefix_len + suffix bucket would exceed max_prompt_len, the
+    engine must fall back to the full-prefill path instead of letting
+    suffix pad rows spill into the decode region."""
+    monkeypatch.setattr(type(tiny_engine), "PREFIX_CACHE_MIN_ROWS", 8)
+    eng = tiny_engine
+    eng.set_max_steps(3)
+    eng._prefix_kv.clear()
+    # prefix ~52 rows + suffix cap 32 > tiny cap 64 -> fallback
+    voice = _clone_voice(n_frames=26, seed=4)
+    eng.set_sampler_config(SamplerConfig(seed=2))
+    audio = eng.generate_with_voice("ok", voice)
+    assert np.isfinite(audio.samples).all()
+    assert len(eng._prefix_kv) == 0          # fallback did not populate
