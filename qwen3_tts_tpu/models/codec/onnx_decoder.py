@@ -86,7 +86,7 @@ class OnnxStreamingDecoder:
 
     # ------------------------------------------------------------ batched
     def decode_batch(self, codes: np.ndarray, states: List[Dict[str, Any]],
-                     is_final: bool = False):
+                     is_final=False):
         """Batched streaming step via jax.vmap for serving lanes whose
         carried states share shapes (lanes that started together and
         decode in lockstep — the steady state of wave batching).
@@ -94,15 +94,16 @@ class OnnxStreamingDecoder:
         Inside vmap each example traces with its UNBATCHED shapes, so the
         executor's host shape-folding is untouched and the real graph's
         batch-1 contract holds per lane.  codes: [B, n, 16]; states: list
-        of B state dicts with identical shapes.  Returns (wavs list of B
-        f32 arrays, new states list).  Falls back to the sequential path
-        if shapes differ.
+        of B state dicts with identical shapes; is_final: bool or [B]
+        bools (per-lane flush).  Returns (wavs list of B f32 arrays, new
+        states list).  Falls back to the sequential path if shapes differ.
         """
         b = len(states)
+        finals = np.broadcast_to(np.asarray(is_final, bool), (b,))
         shapes0 = {k: v.shape for k, v in states[0].items()}
         if any({k: np.shape(v) for k, v in s.items()} != shapes0
                for s in states[1:]):
-            out = [self.decode(codes[i], states[i], is_final)
+            out = [self.decode(codes[i], states[i], bool(finals[i]))
                    for i in range(b)]
             return [w for w, _ in out], [s for _, s in out]
 
@@ -115,8 +116,7 @@ class OnnxStreamingDecoder:
         stacked = {k: jnp.stack([jnp.asarray(s[k]) for s in states])
                    for k in self.state_names}
         feeds = {"audio_codes": jnp.asarray(frames),
-                 "is_last": jnp.full((b, 1), 1.0 if is_final else 0.0,
-                                     jnp.float32)}
+                 "is_last": jnp.asarray(finals, jnp.float32).reshape(b, 1)}
         feeds.update(stacked)
         if not hasattr(self, "_vrun"):
             self._vrun = jax.jit(jax.vmap(self.ex.run, in_axes=(None, 0)))

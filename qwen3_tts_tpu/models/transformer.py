@@ -104,8 +104,10 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     # Pallas flash-decode for single-token steps on TPU: reads only the live
     # prefix of the cache from HBM (see kernels/flash_decode.py).
     from ..kernels.flash_decode import use_flash_decode
+    # head_dim must fill whole 128-wide lanes: Mosaic rejects cache slices
+    # whose last dim is narrower (tiny test configs use dh=16).
     use_flash = (s == 1 and getattr(cfg, "flash_decode", True)
-                 and use_flash_decode())
+                 and cfg.head_dim % 128 == 0 and use_flash_decode())
     mask = (None if use_flash else
             history_mask(cache.lengths, prompt_cap, start, s, cache.capacity))
 

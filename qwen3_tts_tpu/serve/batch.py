@@ -116,19 +116,24 @@ class BatchSynthesizer:
             state, codes_np, valid_np = codec.run_chunk(
                 state, sampler, prompt_cap=bucket, n_frames=n)
             steps += n
+            ks = np.zeros(b, np.int64)
+            finals = np.zeros(b, bool)
+            eos_now = np.zeros(b, bool)
             for i in range(b):
                 if finished[i]:
                     continue
                 k = int(valid_np[i].sum())
-                hit_eos = k < n
-                k = min(k, int(budgets[i] - n_frames[i]))
-                done_now = hit_eos or (n_frames[i] + k >= budgets[i])
-                samples = codec.lane_audio(i, codes_np[i], k,
-                                           is_final=done_now)
-                if k > 0:
-                    wavs[i].append(samples)
-                    n_frames[i] += k
-                if hit_eos:
+                eos_now[i] = k < n
+                ks[i] = min(k, int(budgets[i] - n_frames[i]))
+                finals[i] = eos_now[i] or (n_frames[i] + ks[i] >= budgets[i])
+            samples_all = codec.chunk_audio(codes_np, ks, finals)
+            for i in range(b):
+                if finished[i]:
+                    continue
+                if ks[i] > 0:
+                    wavs[i].append(samples_all[i])
+                    n_frames[i] += ks[i]
+                if eos_now[i]:
                     saw_eos[i] = True
                     finished[i] = True
                 elif n_frames[i] >= budgets[i]:

@@ -62,6 +62,50 @@ class LaneCodec:
         self._wav_np = np.asarray(wav)
         return state, np.asarray(codes), np.asarray(valid)
 
+    # ----------------------------------------------------------- chunk audio
+    def chunk_audio(self, codes_np: np.ndarray, ks: np.ndarray,
+                    finals: np.ndarray) -> List[np.ndarray]:
+        """Waveforms for a whole chunk at once.
+
+        ks: [B] frames to keep per lane (<= 0 = inactive/no audio);
+        finals: [B] bool, lane receives its flush this chunk.
+        Returns a list of B f32 arrays (empty for inactive lanes).
+
+        On the ONNX path, lanes that decode in LOCKSTEP — same k and
+        identically-shaped carried states (the steady state of wave
+        batching and bucket-grouped continuous batching) — run as ONE
+        vmapped graph execution (decode_batch) instead of B sequential
+        ones; stragglers fall back to the per-lane path.
+        """
+        out: List[np.ndarray] = [np.zeros(0, np.float32)] * self.b
+        act = [i for i in range(self.b) if int(ks[i]) > 0]
+        if not act:
+            return out
+        if not self.use_onnx:
+            for i in act:
+                out[i] = self._wav_np[i, : int(ks[i]) * self.spf]
+            return out
+        k0 = int(ks[act[0]])
+        shapes0 = {n: np.shape(v) for n, v in self.states[act[0]].items()}
+        lockstep = (len(act) > 1
+                    and all(int(ks[i]) == k0 for i in act)
+                    and all({n: np.shape(v)
+                             for n, v in self.states[i].items()} == shapes0
+                            for i in act[1:]))
+        if lockstep:
+            wavs, new_states = self.eng.onnx_decoder.decode_batch(
+                np.stack([np.asarray(codes_np[i][:k0]) for i in act]),
+                [self.states[i] for i in act],
+                is_final=np.asarray([bool(finals[i]) for i in act]))
+            for j, i in enumerate(act):
+                out[i] = np.asarray(wavs[j], np.float32)
+                self.states[i] = new_states[j]
+            return out
+        for i in act:
+            out[i] = self.lane_audio(i, np.asarray(codes_np[i]),
+                                     int(ks[i]), bool(finals[i]))
+        return out
+
     # ---------------------------------------------------------------- audio
     def lane_audio(self, lane: int, lane_codes: np.ndarray, k: int,
                    is_final: bool) -> np.ndarray:

@@ -115,19 +115,28 @@ class ContinuousBatcher:
                 n_frames=n_chunk, uniform_cursor=False)
 
             refill_mask = np.zeros(b, bool)
+            ks = np.zeros(b, np.int64)
+            finals = np.zeros(b, bool)
+            eos_now = np.zeros(b, bool)
             for lane in range(b):
                 req = lane_req[lane]
                 if req is None:
                     continue
                 k = int(valid_np[lane].sum())
-                hit_eos = k < n_chunk
+                eos_now[lane] = k < n_chunk
                 budget = requests[req].max_frames or self.max_frames
-                k = min(k, budget - frames[req])
-                done_now = hit_eos or frames[req] + k >= budget
-                samples = codec.lane_audio(lane, codes_np[lane], k,
-                                           is_final=done_now)
+                ks[lane] = min(k, budget - frames[req])
+                finals[lane] = eos_now[lane] or frames[req] + ks[lane] >= budget
+            samples_all = codec.chunk_audio(codes_np, ks, finals)
+            for lane in range(b):
+                req = lane_req[lane]
+                if req is None:
+                    continue
+                k = int(ks[lane])
+                hit_eos = bool(eos_now[lane])
+                budget = requests[req].max_frames or self.max_frames
                 if k > 0:
-                    wavs[req].append(samples)
+                    wavs[req].append(samples_all[lane])
                     frames[req] += k
                 out_of_budget = frames[req] >= budget
                 if hit_eos or out_of_budget:

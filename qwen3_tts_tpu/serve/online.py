@@ -32,7 +32,10 @@ import numpy as np
 from ..core import protocol as P_
 from ..io.audio import AudioSample
 from ..runtime.generate import SamplerParams
+from ..utils.logging import get_logger
 from .batch import BatchRequest, BatchResult
+
+log = get_logger()
 
 
 class OnlineBatcher:
@@ -152,31 +155,49 @@ class OnlineBatcher:
             if fut is not None and not fut.cancelled():
                 fut.set_result(result)
 
-        while not self._stop.is_set():
-            try_fill_lanes()
-            active = [i for i in range(b) if lane_fut[i] is not None]
-            if not active:
-                time.sleep(self.idle_poll_s)
-                continue
+        try:
+            while not self._stop.is_set():
+                try_fill_lanes()
+                active = [i for i in range(b) if lane_fut[i] is not None]
+                if not active:
+                    time.sleep(self.idle_poll_s)
+                    continue
 
-            state, codes_np, valid_np = codec.run_chunk(
-                state, sampler, prompt_cap=self.bucket,
-                n_frames=n_chunk, uniform_cursor=False)
-            for lane in active:
-                budget = (lane_req[lane].max_frames or self.max_frames)
-                k = int(valid_np[lane].sum())
-                hit_eos = k < n_chunk
-                k = min(k, budget - lane_frames[lane])
-                done_now = hit_eos or lane_frames[lane] + k >= budget
-                samples = codec.lane_audio(lane, codes_np[lane], k,
-                                           is_final=done_now)
-                if k > 0:
-                    lane_wavs[lane].append(samples)
-                    lane_frames[lane] += k
-                if hit_eos or lane_frames[lane] >= budget:
-                    if not hit_eos:
-                        state = set_done(state, lane)
-                    finish(lane, hit_eos)
+                state, codes_np, valid_np = codec.run_chunk(
+                    state, sampler, prompt_cap=self.bucket,
+                    n_frames=n_chunk, uniform_cursor=False)
+                ks = np.zeros(b, np.int64)
+                finals = np.zeros(b, bool)
+                eos_now = np.zeros(b, bool)
+                for lane in active:
+                    budget = (lane_req[lane].max_frames or self.max_frames)
+                    k = int(valid_np[lane].sum())
+                    eos_now[lane] = k < n_chunk
+                    ks[lane] = min(k, budget - lane_frames[lane])
+                    finals[lane] = (eos_now[lane]
+                                    or lane_frames[lane] + ks[lane] >= budget)
+                samples_all = codec.chunk_audio(codes_np, ks, finals)
+                for lane in active:
+                    budget = (lane_req[lane].max_frames or self.max_frames)
+                    hit_eos = bool(eos_now[lane])
+                    if ks[lane] > 0:
+                        lane_wavs[lane].append(samples_all[lane])
+                        lane_frames[lane] += int(ks[lane])
+                    if hit_eos or lane_frames[lane] >= budget:
+                        if not hit_eos:
+                            state = set_done(state, lane)
+                        finish(lane, hit_eos)
+        except Exception as e:  # scheduler crash: fail every pending future
+            # rather than leaving clients blocked forever on futures that
+            # will never resolve (failure-isolation posture, SURVEY §5).
+            log.exception("scheduler loop crashed: %s", e)
+            self._stop.set()
+            for lane in range(b):
+                fut = lane_fut[lane]
+                lane_fut[lane] = None
+                lane_req[lane] = None
+                if fut is not None and not fut.cancelled():
+                    fut.set_exception(e)
 
         # Drain on stop: fail pending futures cleanly.
         for lane in range(b):

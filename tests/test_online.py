@@ -84,3 +84,24 @@ def test_oversized_prompt_fails_future_not_scheduler(batcher, tiny_engine):
         f_bad.result(timeout=300)
     r = f_ok.result(timeout=300)
     assert np.isfinite(r.audio.samples).all()
+
+
+def test_scheduler_crash_fails_inflight_futures(tiny_engine, monkeypatch):
+    """If the chunk loop itself dies (e.g. a backend compile error), every
+    in-flight future must receive the exception instead of blocking its
+    client forever."""
+    from qwen3_tts_tpu.serve.codec_path import LaneCodec
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("backend exploded")
+
+    monkeypatch.setattr(LaneCodec, "run_chunk", boom)
+    tiny_engine.set_sampler_config(SamplerConfig(seed=9))
+    ob = OnlineBatcher(tiny_engine, batch_size=2, bucket=32,
+                       max_frames_per_stream=2, idle_poll_s=0.01).start()
+    voice = tiny_engine.get_speaker("vivian")
+    fut = ob.submit(BatchRequest("crash", voice, max_frames=2))
+    with pytest.raises(RuntimeError, match="backend exploded"):
+        fut.result(timeout=60)
+    ob.stop()
+    assert not ob._thread.is_alive()

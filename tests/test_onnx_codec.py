@@ -195,3 +195,56 @@ def test_decode_batch_shape_mismatch_falls_back(mini_decoder):
     assert len(wavs) == 2
     for w in wavs:
         assert np.isfinite(w).all() and w.size == 2 * SPF
+
+
+def test_decode_batch_per_lane_finals(mini_decoder):
+    """is_final may differ per lane inside one lockstep batch: each lane's
+    waveform must equal its sequential decode with the same flag."""
+    dec = mini_decoder
+    rng = np.random.default_rng(14)
+    codes = rng.integers(0, 20, size=(2, 3, NB))
+    want = []
+    for i, fin in enumerate([True, False]):
+        w, _ = dec.decode(codes[i], dec.create_state(), is_final=fin)
+        want.append(w)
+    wavs, _ = dec.decode_batch(codes, [dec.create_state(), dec.create_state()],
+                               is_final=np.asarray([True, False]))
+    for i in range(2):
+        np.testing.assert_allclose(wavs[i], want[i], rtol=1e-4, atol=1e-5)
+
+
+def test_serving_lockstep_routes_through_decode_batch(onnx_engine,
+                                                      monkeypatch):
+    """A 2-request wave batch over the ONNX codec path must (a) take the
+    vmapped decode_batch route for lockstep chunks and (b) produce the same
+    waveforms as solo synthesis."""
+    from qwen3_tts_tpu.core.config import SamplerConfig
+    from qwen3_tts_tpu.serve.batch import BatchRequest, BatchSynthesizer
+
+    eng = onnx_engine
+    eng.set_max_steps(6)
+    voice = eng.get_speaker("vivian")
+
+    # greedy: batched lanes draw per-lane PRNG streams, so only a
+    # deterministic sampler makes wave == solo lane-for-lane
+    solos = []
+    for text in ("lockstep one", "lockstep two"):
+        eng.set_sampler_config(SamplerConfig(temperature=0.0, seed=31))
+        solos.append(eng.generate_with_voice(text, voice).samples)
+
+    calls = {"batch": 0}
+    orig = type(eng.onnx_decoder).decode_batch
+
+    def spy(self, codes, states, is_final=False):
+        calls["batch"] += 1
+        return orig(self, codes, states, is_final)
+
+    monkeypatch.setattr(type(eng.onnx_decoder), "decode_batch", spy)
+    eng.set_sampler_config(SamplerConfig(temperature=0.0, seed=31))
+    results = BatchSynthesizer(eng, batch_size=2).synthesize(
+        [BatchRequest("lockstep one", voice),
+         BatchRequest("lockstep two", voice)])
+    assert calls["batch"] > 0, "lockstep chunk did not take decode_batch"
+    for i in range(2):
+        np.testing.assert_allclose(results[i].audio.samples, solos[i],
+                                   atol=1e-5)
