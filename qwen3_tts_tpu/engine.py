@@ -130,25 +130,46 @@ class TtsEngine:
         self.tokenizer = Tokenizer.load(self.model_dir)
 
         # 3. Talker + predictor weights (GGUF if present, else random init).
+        # The int8 decision is made here (not at step 4.5) so the Orbax
+        # fast-start cache can store the final converted form.
+        use_int8 = self.config.int8_weights
+        if use_int8 is None:
+            use_int8 = quant != "none"
+        from .io import checkpoint as ckpt_io
         from .io import weights as weights_io
+
+        def _load_lm(name, path, cfg_cls, cur_cfg, loader):
+            """GGUF -> (params, derived_cfg, from_cache)."""
+            fp = ckpt_io.fingerprint(path, use_int8)
+            if ckpt_io.enabled():
+                hit = ckpt_io.load_lm(self.model_dir, f"{name}_{quant}", fp,
+                                      cfg_cls)
+                if hit is not None:
+                    return hit[0], hit[1], True
+            cfg_new = weights_io.config_from_gguf(
+                weights_io.read_gguf(path), cur_cfg)
+            _, params = loader(path, cfg_new)
+            return params, cfg_new, False
+
+        from .core.config import PredictorConfig, TalkerConfig
         talker_path = weights_dir / "qwen3_tts_talker.gguf"
+        talker_cached = False
         if talker_path.exists():
-            self.config = self.config.replace(
-                talker=weights_io.config_from_gguf(
-                    weights_io.read_gguf(talker_path), self.config.talker))
-            _, self.talker_params = weights_io.load_talker_gguf(
-                talker_path, self.config.talker)
+            self.talker_params, tcfg, talker_cached = _load_lm(
+                "talker", talker_path, TalkerConfig, self.config.talker,
+                weights_io.load_talker_gguf)
+            self.config = self.config.replace(talker=tcfg)
         else:
             self.talker_params = _jinit(talker_lib.init_talker_params,
                                         self.config.talker, k_talker)
             self.dev_mode_components.append("talker")
         pred_path = weights_dir / "qwen3_tts_predictor.gguf"
+        pred_cached = False
         if pred_path.exists():
-            self.config = self.config.replace(
-                predictor=weights_io.config_from_gguf(
-                    weights_io.read_gguf(pred_path), self.config.predictor))
-            _, self.predictor_params = weights_io.load_predictor_gguf(
-                pred_path, self.config.predictor)
+            self.predictor_params, pcfg, pred_cached = _load_lm(
+                "predictor", pred_path, PredictorConfig,
+                self.config.predictor, weights_io.load_predictor_gguf)
+            self.config = self.config.replace(predictor=pcfg)
         else:
             self.predictor_params = _jinit(
                 predictor_lib.init_predictor_params, self.config.predictor,
@@ -212,21 +233,32 @@ class TtsEngine:
         self._warn_dev_mode()
 
         # 4.5 Optional int8 device weights for the LMs (memory-bound decode).
-        use_int8 = self.config.int8_weights
-        if use_int8 is None:
-            use_int8 = quant != "none"
+        # Cache-restored params are already in their final converted form.
         if use_int8:
             from .ops import quant as quant_ops
-            self.talker_params = jax.jit(lambda p: {
-                "layers": quant_ops.quantize_decoder_layers(p["layers"]),
-                "final_norm": p["final_norm"],
-                "codec_head": quant_ops.quantize_head(p["codec_head"]),
-            })(self.talker_params)
-            self.predictor_params = jax.jit(lambda p: {
-                "layers": quant_ops.quantize_decoder_layers(p["layers"]),
-                "final_norm": p["final_norm"],
-                "lm_head": quant_ops.quantize_head(p["lm_head"]),
-            })(self.predictor_params)
+            if not talker_cached:
+                self.talker_params = jax.jit(lambda p: {
+                    "layers": quant_ops.quantize_decoder_layers(p["layers"]),
+                    "final_norm": p["final_norm"],
+                    "codec_head": quant_ops.quantize_head(p["codec_head"]),
+                })(self.talker_params)
+            if not pred_cached:
+                self.predictor_params = jax.jit(lambda p: {
+                    "layers": quant_ops.quantize_decoder_layers(p["layers"]),
+                    "final_norm": p["final_norm"],
+                    "lm_head": quant_ops.quantize_head(p["lm_head"]),
+                })(self.predictor_params)
+
+        # 4.6 Persist the converted LM weights for fast later starts.
+        if ckpt_io.enabled():
+            if talker_path.exists() and not talker_cached:
+                ckpt_io.save_lm(self.model_dir, f"talker_{quant}",
+                                self.talker_params, self.config.talker,
+                                ckpt_io.fingerprint(talker_path, use_int8))
+            if pred_path.exists() and not pred_cached:
+                ckpt_io.save_lm(self.model_dir, f"predictor_{quant}",
+                                self.predictor_params, self.config.predictor,
+                                ckpt_io.fingerprint(pred_path, use_int8))
 
         # 5. Compiled programs.
         self.generator = Generator(self.config, self.talker_params,

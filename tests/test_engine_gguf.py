@@ -113,3 +113,62 @@ def test_engine_gguf_int8(gguf_model_dir):
     audio = eng.generate_with_voice("int8 from gguf",
                                     eng.get_speaker("vivian"))
     assert np.isfinite(audio.samples).all()
+
+
+def test_weight_cache_roundtrip(gguf_model_dir):
+    """Second engine start restores the Orbax weight cache: identical
+    converted params, no GGUF re-read; touching the GGUF invalidates it."""
+    import os
+    import jax
+    from qwen3_tts_tpu.engine import TtsEngine
+    from qwen3_tts_tpu.io import weights as weights_io
+    root, cfg = gguf_model_dir
+
+    # first start (any earlier test may have populated the cache; wipe)
+    import shutil
+    shutil.rmtree(root / "cache", ignore_errors=True)
+    eng1 = TtsEngine(model_dir=root, quant="q8_0", config=cfg)
+    assert (root / "cache" / "talker_q8_0" / "meta.json").exists()
+    assert (root / "cache" / "predictor_q8_0" / "meta.json").exists()
+
+    # second start must not parse the GGUF again
+    calls = {"n": 0}
+    orig = weights_io.read_gguf
+
+    def spy(path, *a, **kw):
+        calls["n"] += 1
+        return orig(path, *a, **kw)
+
+    weights_io.read_gguf = spy
+    try:
+        eng2 = TtsEngine(model_dir=root, quant="q8_0", config=cfg)
+    finally:
+        weights_io.read_gguf = orig
+    # assets GGUF still reads (separate loader); talker/predictor must not
+    assert calls["n"] == 0
+    for a, b in zip(jax.tree_util.tree_leaves(eng1.talker_params),
+                    jax.tree_util.tree_leaves(eng2.talker_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert eng2.config.talker == eng1.config.talker
+
+    # invalidation: touch the talker GGUF -> cache miss -> GGUF re-read
+    g = root / "gguf_q8_0" / "qwen3_tts_talker.gguf"
+    os.utime(g, ns=(g.stat().st_atime_ns + 1_000_000_000,
+                    g.stat().st_mtime_ns + 1_000_000_000))
+    calls["n"] = 0
+    weights_io.read_gguf = spy
+    try:
+        TtsEngine(model_dir=root, quant="q8_0", config=cfg)
+    finally:
+        weights_io.read_gguf = orig
+    assert calls["n"] >= 1
+
+
+def test_weight_cache_disabled_by_env(gguf_model_dir, monkeypatch):
+    import shutil
+    from qwen3_tts_tpu.engine import TtsEngine
+    root, cfg = gguf_model_dir
+    shutil.rmtree(root / "cache", ignore_errors=True)
+    monkeypatch.setenv("QTTS_WEIGHT_CACHE", "0")
+    TtsEngine(model_dir=root, quant="q8_0", config=cfg)
+    assert not (root / "cache").exists()
