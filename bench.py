@@ -80,36 +80,41 @@ def main() -> None:
     from qwen3_tts_tpu.utils.sync import hard_sync
 
     def run_once(seed: int):
+        """Non-streaming request: prefill + ONE bulk device program
+        (engine._run_inference's path).  TTFT is measured separately on the
+        streaming schedule (a 2-frame first chunk, like _stream_inference) —
+        streaming trades a few host dispatches for early audio."""
         t0 = time.perf_counter()
         state = generator.start(embeds, lengths, jax.random.PRNGKey(seed))
         hard_sync(state.logits)
         t_prefill = time.perf_counter() - t0
         dec_state = codec_decoder.init_decoder_state(
             cfg.codec_decoder, dec_params, batch=1)
-        ttft = None
-        # Same schedule as the engine's streaming loop: a 2-frame first
-        # chunk for TTFT, then 4-frame chunks.
-        left = FRAMES - 2
-        sizes = [2] + [CHUNK] * (left // CHUNK) + (
-            [left % CHUNK] if left % CHUNK else [])
-        for i, n in enumerate(sizes):
-            state, dec_state, codes, valid, wav = generator.chunk_with_audio(
-                state, dec_state, sampler, prompt_cap=PROMPT_CAP,
-                n_frames=n)
-            if i == 0:
-                hard_sync(wav)
-                ttft = time.perf_counter() - t0
+        state, dec_state, codes, valid, wav, _ = generator.run_bulk(
+            state, dec_state, sampler, prompt_cap=PROMPT_CAP,
+            max_frames=FRAMES)
         hard_sync(wav)
         total = time.perf_counter() - t0
-        return t_prefill, ttft, total
+        return t_prefill, total
+
+    def ttft_once(seed: int):
+        t0 = time.perf_counter()
+        state = generator.start(embeds, lengths, jax.random.PRNGKey(seed))
+        dec_state = codec_decoder.init_decoder_state(
+            cfg.codec_decoder, dec_params, batch=1)
+        state, dec_state, codes, valid, wav = generator.chunk_with_audio(
+            state, dec_state, sampler, prompt_cap=PROMPT_CAP, n_frames=2)
+        hard_sync(wav)
+        return time.perf_counter() - t0
 
     # Warmup/compile.
     run_once(0)
+    ttft_once(0)
     # Timed runs.
     runs = [run_once(s) for s in range(1, 4)]
     prefill = float(np.mean([r[0] for r in runs]))
-    ttft = float(np.mean([r[1] for r in runs]))
-    total = float(np.mean([r[2] for r in runs]))
+    total = float(np.mean([r[1] for r in runs]))
+    ttft = float(np.mean([ttft_once(s) for s in range(1, 4)]))
 
     # Multi-stream serving, MEASURED at each batch size (no extrapolation —
     # round-1 reported batch-8 throughput scaled linearly, which overstates
@@ -119,6 +124,8 @@ def main() -> None:
     audio_batch_s = SFRAMES * spf / P.SAMPLE_RATE
 
     def run_batch(b: int):
+        """Batched non-streaming requests through the bulk program; the
+        per-stream TTFT figure is the streaming first chunk at this batch."""
         embeds_b = jax.random.normal(k5, (b, PROMPT_CAP, cfg.talker.d_model),
                                      jnp.float32) * 0.02
         lengths_b = jnp.full((b,), PROMPT_CAP, jnp.int32)
@@ -126,14 +133,13 @@ def main() -> None:
         state = generator.start(embeds_b, lengths_b, jax.random.PRNGKey(9))
         dec_state = codec_decoder.init_decoder_state(
             cfg.codec_decoder, dec_params, batch=b)
-        ttft_b = None
-        for i in range(SFRAMES // CHUNK):
-            state, dec_state, codes, valid, wav = generator.chunk_with_audio(
-                state, dec_state, sampler, prompt_cap=PROMPT_CAP,
-                n_frames=CHUNK)
-            if i == 0:
-                hard_sync(wav)
-                ttft_b = time.perf_counter() - t0
+        state, dec_state, codes, valid, wav = generator.chunk_with_audio(
+            state, dec_state, sampler, prompt_cap=PROMPT_CAP, n_frames=2)
+        hard_sync(wav)
+        ttft_b = time.perf_counter() - t0
+        state, dec_state, codes, valid, wav, _ = generator.run_bulk(
+            state, dec_state, sampler, prompt_cap=PROMPT_CAP,
+            max_frames=SFRAMES - 2)
         hard_sync(wav)
         return time.perf_counter() - t0, ttft_b
 

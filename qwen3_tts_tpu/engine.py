@@ -337,13 +337,16 @@ class TtsEngine:
         check_and_download(model_dir, quant)
 
     def warmup(self, buckets=(32, 64, 128), batch_sizes=(1,),
-               frames: int = None) -> None:
+               frames: int = None, bulk: bool = True) -> None:
         """Pre-compile the serving programs for the given prompt buckets and
-        batch sizes (prefill + fused chunk + prompt assembly).  Run once at
-        deployment so no user request pays a compile; with the persistent
-        XLA cache this also seeds future processes."""
+        batch sizes (prefill + fused chunk + prompt assembly + the bulk
+        whole-request program).  Run once at deployment so no user request
+        pays a compile; with the persistent XLA cache this also seeds future
+        processes."""
         frames = frames or self.config.runtime.frames_per_chunk
         sampler = SamplerParams.make(self.sampler_config)
+        from .utils.sync import hard_sync
+        max_frames = min(self.max_steps, self.config.runtime.max_steps)
         for b in batch_sizes:
             for bucket in buckets:
                 embeds = jnp.zeros((b, bucket, P.TALKER_DIM), jnp.float32)
@@ -353,7 +356,10 @@ class TtsEngine:
                 if self.onnx_decoder is not None:
                     state, codes, valid = self.generator.chunk(
                         state, sampler, prompt_cap=bucket, n_frames=frames)
-                    from .utils.sync import hard_sync
+                    if bulk:
+                        self.generator.run_bulk_codes(
+                            state, sampler, prompt_cap=bucket,
+                            max_frames=max_frames)
                     hard_sync(codes)
                     continue
                 dec_state = codec_decoder.init_decoder_state(
@@ -362,7 +368,13 @@ class TtsEngine:
                 out = self.generator.chunk_with_audio(
                     state, dec_state, sampler, prompt_cap=bucket,
                     n_frames=frames)
-                from .utils.sync import hard_sync
+                if bulk:
+                    dec_state2 = codec_decoder.init_decoder_state(
+                        self.config.codec_decoder, self.codec_decoder_params,
+                        batch=b)
+                    self.generator.run_bulk(
+                        out[0], dec_state2, sampler, prompt_cap=bucket,
+                        max_frames=max_frames)
                 hard_sync(out[-1])
         if self.onnx_decoder is not None:
             # warm the streaming-decoder programs for the first few
@@ -539,9 +551,64 @@ class TtsEngine:
                            channels=1)
 
     def _run_inference(self, plan: PromptPlan) -> AudioSample:
-        parts = list(self._stream_inference(plan))
-        samples = (np.concatenate(parts) if parts
-                   else np.zeros((0,), np.float32))
+        """Non-streaming synthesis through the ONE-dispatch bulk program
+        (runtime.generate._gen_bulk): prefill + a single device program that
+        loops chunks on device and early-exits at EOS.  The reference pays a
+        host round-trip per frame (engine.rs:545-642); the streaming path
+        here pays one per 4-frame chunk; this path pays one per REQUEST —
+        on remote-transport TPUs (tens of ms per dispatch) that alone is
+        worth ~0.08 RTF.  QTTS_BULK=0 falls back to the streaming loop."""
+        if os.environ.get("QTTS_BULK", "1") == "0":
+            parts = list(self._stream_inference(plan))
+            samples = (np.concatenate(parts) if parts
+                       else np.zeros((0,), np.float32))
+            return AudioSample(samples=samples, sample_rate=P.SAMPLE_RATE,
+                               channels=1)
+
+        cfg = self.config
+        spf = cfg.codec_decoder.samples_per_frame
+        metrics = GenerationMetrics()
+        watch = Stopwatch()
+        t_start = time.perf_counter()
+        seed = self.sampler_config.seed
+        if seed is None:
+            seed = time.time_ns() & 0x7FFFFFFFFFFFFFFF
+        key = jax.random.PRNGKey(seed)
+
+        state, bucket = self._start_state(plan, key)
+        sampler = SamplerParams.make(self.sampler_config)
+        metrics.prefill_ms = watch.lap_ms()
+        max_frames = min(self.max_steps, cfg.runtime.max_steps)
+
+        if self.onnx_decoder is not None:
+            state, codes, valid, _ = self.generator.run_bulk_codes(
+                state, sampler, prompt_cap=bucket, max_frames=max_frames)
+            n_valid = int(np.asarray(valid[0]).sum())
+            metrics.eos = n_valid < max_frames
+            if n_valid == 0:
+                samples = np.zeros((0,), np.float32)
+            else:
+                wav, _ = self.onnx_decoder.decode(
+                    np.asarray(codes[0, :n_valid]),
+                    self.onnx_decoder.create_state(), is_final=True)
+                samples = np.asarray(wav, np.float32)
+        else:
+            dec_state = codec_decoder.init_decoder_state(
+                cfg.codec_decoder, self.codec_decoder_params, batch=1)
+            state, dec_state, codes, valid, wav, _ = self.generator.run_bulk(
+                state, dec_state, sampler, prompt_cap=bucket,
+                max_frames=max_frames)
+            n_valid = int(np.asarray(valid[0]).sum())
+            metrics.eos = n_valid < max_frames
+            samples = np.asarray(wav[0, : n_valid * spf], np.float32)
+
+        metrics.total_ms = (time.perf_counter() - t_start) * 1000.0
+        metrics.ttft_ms = metrics.total_ms
+        metrics.frames = n_valid
+        metrics.audio_seconds = n_valid * spf / P.SAMPLE_RATE
+        self.last_metrics = metrics
+        from .utils.logging import log_event
+        log_event("generation", **metrics.as_dict())
         return AudioSample(samples=samples, sample_rate=P.SAMPLE_RATE,
                            channels=1)
 

@@ -286,6 +286,73 @@ def gen_frames_with_audio(cfg: EngineConfig, talker_params, predictor_params,
     return state, dec_state, codes, valid, wav
 
 
+def _gen_bulk(cfg: EngineConfig, talker_params, predictor_params,
+              assets_pack, codec_params, state: GenState, dec_state,
+              sampler: SamplerParams, max_frames: int, chunk: int,
+              prompt_cap: int, uniform_cursor: bool = True):
+    """Whole-request generation in ONE device program.
+
+    A `lax.while_loop` over `chunk`-frame groups replaces the host chunk
+    loop of `_stream_inference`: the host dispatches once per REQUEST, not
+    once per 4 frames, so wall time is independent of host<->device dispatch
+    latency (a remote-TPU transport costs tens of ms per dispatch — 512
+    frames would otherwise pay ~128 of them).  The loop early-exits on the
+    first chunk boundary where every lane is done, preserving the
+    reference's EOS `break` (engine.rs:558-561) at chunk granularity —
+    exactly like the host loop it replaces.
+
+    codec_params None -> codes-only (the ONNX-codec path decodes after);
+    else the codec decode is fused per chunk and wav is written into a
+    preallocated [B, F*spf] buffer.
+
+    Returns (state, dec_state, codes [B, F, 16], valid [B, F],
+    wav [B, F*spf] or None, frames_done scalar) with F = max_frames rounded
+    up to a whole number of chunks; columns >= max_frames are always
+    flagged invalid so the frame budget is exact.
+    """
+    from ..models.codec import decoder as codec_decoder
+
+    b = state.hidden.shape[0]
+    n_chunks = -(-max_frames // chunk)
+    f_cap = n_chunks * chunk
+    with_audio = codec_params is not None
+    spf = cfg.codec_decoder.samples_per_frame if with_audio else 0
+
+    codes_buf = jnp.zeros((b, f_cap, P.NUM_CODEBOOKS), jnp.int32)
+    valid_buf = jnp.zeros((b, f_cap), bool)
+    wav_buf = (jnp.zeros((b, f_cap * spf), jnp.float32) if with_audio
+               else jnp.zeros((b, 0), jnp.float32))
+
+    def cond(carry):
+        ci, state, *_ = carry
+        return (ci < n_chunks) & ~jnp.all(state.done)
+
+    def body(carry):
+        ci, state, dec_state, codes_buf, valid_buf, wav_buf = carry
+        state, codes, valid = gen_frames(
+            cfg, talker_params, predictor_params, assets_pack, state,
+            sampler, chunk, prompt_cap, uniform_cursor)
+        codes_buf = jax.lax.dynamic_update_slice(
+            codes_buf, codes, (0, ci * chunk, 0))
+        valid_buf = jax.lax.dynamic_update_slice(
+            valid_buf, valid, (0, ci * chunk))
+        if with_audio:
+            wav, dec_state = codec_decoder.decode_chunk(
+                cfg.codec_decoder, codec_params, codes, dec_state)
+            wav_buf = jax.lax.dynamic_update_slice(
+                wav_buf, wav.astype(jnp.float32), (0, ci * chunk * spf))
+        return ci + 1, state, dec_state, codes_buf, valid_buf, wav_buf
+
+    ci, state, dec_state, codes_buf, valid_buf, wav_buf = jax.lax.while_loop(
+        cond, body,
+        (jnp.zeros((), jnp.int32), state, dec_state, codes_buf, valid_buf,
+         wav_buf))
+    # exact frame budget: chunks past max_frames never count
+    valid_buf = valid_buf & (jnp.arange(f_cap) < max_frames)[None, :]
+    return (state, dec_state, codes_buf, valid_buf,
+            wav_buf if with_audio else None, ci * chunk)
+
+
 class Generator:
     """Compiled-function holder: jits prefill and the chunked frame loop once
     per (batch, prompt_cap) signature and keeps donation-friendly wrappers."""
@@ -352,6 +419,47 @@ class Generator:
                                self.assets_pack, state, sampler,
                                n_frames=n, prompt_cap=prompt_cap,
                                uniform_cursor=uniform_cursor)
+
+    def run_bulk(self, state: GenState, dec_state, sampler: SamplerParams,
+                 prompt_cap: int, max_frames: int, n_frames: int = None,
+                 uniform_cursor: bool = True):
+        """One-dispatch whole-request generation (see _gen_bulk).  With
+        codec_params fused codec decode is included; otherwise pass
+        dec_state=0 and wav comes back None (ONNX-codec path)."""
+        n = n_frames or self.cfg.runtime.frames_per_chunk
+        if not hasattr(self, "_gen_bulk"):
+            donate = (("state", "dec_state")
+                      if self.cfg.runtime.donate_cache else ())
+            self._gen_bulk = jax.jit(
+                functools.partial(_gen_bulk, self.cfg),
+                static_argnames=("max_frames", "chunk", "prompt_cap",
+                                 "uniform_cursor"),
+                donate_argnames=donate)
+        return self._gen_bulk(
+            self.talker_params, self.predictor_params, self.assets_pack,
+            self.codec_params, state, dec_state, sampler,
+            max_frames=max_frames, chunk=n, prompt_cap=prompt_cap,
+            uniform_cursor=uniform_cursor)
+
+    def run_bulk_codes(self, state: GenState, sampler: SamplerParams,
+                       prompt_cap: int, max_frames: int, n_frames: int = None,
+                       uniform_cursor: bool = True):
+        """Codes-only bulk generation (the codec runs separately — ONNX
+        path).  Returns (state, codes, valid, frames_done)."""
+        n = n_frames or self.cfg.runtime.frames_per_chunk
+        if not hasattr(self, "_gen_bulk_codes"):
+            donate = ("state",) if self.cfg.runtime.donate_cache else ()
+            self._gen_bulk_codes = jax.jit(
+                functools.partial(_gen_bulk, self.cfg, codec_params=None),
+                static_argnames=("max_frames", "chunk", "prompt_cap",
+                                 "uniform_cursor"),
+                donate_argnames=donate)
+        state, _, codes, valid, _, done = self._gen_bulk_codes(
+            self.talker_params, self.predictor_params, self.assets_pack,
+            state=state, dec_state=jnp.zeros(()), sampler=sampler,
+            max_frames=max_frames, chunk=n, prompt_cap=prompt_cap,
+            uniform_cursor=uniform_cursor)
+        return state, codes, valid, done
 
     def chunk_with_audio(self, state: GenState, dec_state,
                          sampler: SamplerParams, prompt_cap: int,

@@ -48,7 +48,10 @@ def test_streaming_matches_batch(tiny_engine):
     chunks = list(eng.generate_stream("stream me", voice))
     streamed = (np.concatenate(chunks) if chunks
                 else np.zeros(0, np.float32))
-    np.testing.assert_allclose(streamed, full.samples, atol=1e-6)
+    # codes are identical (same seed, same per-frame math); wav agrees to
+    # the codec's chunk-invariance tolerance (test_codec.py: 1e-5) — the
+    # bulk path decodes 4-frame chunks while streaming decodes 2,4,...
+    np.testing.assert_allclose(streamed, full.samples, atol=1e-5)
     # streaming granularity: every chunk except the last is <= 4 frames
     spf = eng.config.codec_decoder.samples_per_frame
     for c in chunks:
