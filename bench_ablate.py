@@ -1,4 +1,4 @@
-"""Ablation: where does the talker step's time go vs the weight-stream floor?
+"""Ablation tool: where does the talker step time go vs the weight-stream floor?
 
 Runs N dependent talker decode steps inside ONE jit (axon per-dispatch
 latency makes per-call timing useless) for several ablations:

@@ -18,7 +18,13 @@ def main():
     ap.add_argument("--no-int8", action="store_true")
     ap.add_argument("--int4", action="store_true",
                     help="packed-int4 LM weights (grouped scales)")
+    ap.add_argument("--only", default="",
+                    help="comma-separated component-name substrings to run")
     args = ap.parse_args()
+    only = [s for s in args.only.split(",") if s]
+
+    def want(name):
+        return not only or any(s in name for s in only)
 
     import jax
     import jax.numpy as jnp
@@ -90,7 +96,8 @@ def main():
         hard_sync(st.logits)
         return st
 
-    emit("prefill", timeit(run_prefill), per="call", count=1)
+    if want("prefill"):
+        emit("prefill", timeit(run_prefill), per="call", count=1)
 
     def fused():
         st = g.start(embeds, lengths, jax.random.PRNGKey(1))
@@ -100,7 +107,8 @@ def main():
                 st, ds, sp, prompt_cap=pc)
         hard_sync(wav)
 
-    emit("fused_lm_plus_codec", timeit(fused))
+    if want("fused_lm_plus_codec"):
+        emit("fused_lm_plus_codec", timeit(fused))
 
     def lm_only():
         st = g.start(embeds, lengths, jax.random.PRNGKey(1))
@@ -108,7 +116,8 @@ def main():
             st, codes, valid = g.chunk(st, sp, prompt_cap=pc)
         hard_sync(codes)
 
-    emit("lm_only", timeit(lm_only))
+    if want("lm_only"):
+        emit("lm_only", timeit(lm_only))
 
     codes4 = jnp.zeros((1, 4, 16), jnp.int32)
     dchunk = jax.jit(lambda p, c, s: dec.decode_chunk(cfg.codec_decoder,
@@ -121,7 +130,8 @@ def main():
             wav, ds = dchunk(dp, codes4, ds)
         hard_sync(wav)
 
-    emit("codec_only", timeit(codec_only))
+    if want("codec_only"):
+        emit("codec_only", timeit(codec_only))
 
     h1024 = jnp.zeros((1, 1024), jnp.float32)
     code0 = jnp.zeros((1,), jnp.int32)
@@ -134,8 +144,38 @@ def main():
         _, codes = jax.lax.scan(body, None, jnp.arange(n))
         return codes
 
-    emit("predictor_only",
-         timeit(lambda: hard_sync(pred_n(pp, pack["codec_tables_1024"]))))
+    if want("predictor_only"):
+        emit("predictor_only",
+             timeit(lambda: hard_sync(pred_n(pp, pack["codec_tables_1024"]))))
+
+    # fused Pallas predictor kernel (both modes), dependent-chained like the
+    # real loop (codes feed the next frame's hidden perturbation)
+    from qwen3_tts_tpu.kernels import predictor_frame as pf
+    if pf.supported(cfg.predictor, 1) and not args.int4 and want("predictor_fused"):
+        def fused_n_factory():
+            @jax.jit
+            def fused_n(params, tables):
+                def body(c, i):
+                    h = h1024 + c.sum().astype(jnp.float32) * 1e-9
+                    codes = pf.predict_frame_fused(cfg.predictor, params, h,
+                                                   code0, tables)
+                    return codes, codes
+                _, codes = jax.lax.scan(body, jnp.zeros((1, 16), jnp.int32),
+                                        jnp.arange(n))
+                return codes
+            return fused_n
+
+        import os
+        fused_res = fused_n_factory()
+        emit("predictor_fused_resident",
+             timeit(lambda: hard_sync(fused_res(pp,
+                                                pack["codec_tables_1024"]))))
+        os.environ["QTTS_PREDICTOR_RESIDENT"] = "0"
+        fused_str = fused_n_factory()
+        emit("predictor_fused_streaming",
+             timeit(lambda: hard_sync(fused_str(pp,
+                                                pack["codec_tables_1024"]))))
+        del os.environ["QTTS_PREDICTOR_RESIDENT"]
 
 
 if __name__ == "__main__":

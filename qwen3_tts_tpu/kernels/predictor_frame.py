@@ -96,7 +96,7 @@ def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
             codes_ref,                                       # out (SMEM)
             x_sc, xnext_sc, win_sc, kc_sc, vc_sc,            # scratch
             wqkv_buf, wo_buf, gu_buf, dn_buf, dma_sems, wsems,
-            *, cfg_static):
+            *, cfg_static, resident: bool):
     (L, B, H, HKV, DH, D, EPS) = cfg_static
     t = pl.program_id(0)
     rep = H // HKV
@@ -115,6 +115,17 @@ def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
                                   wsems.at[slot, 3]),
         ]
 
+    def full_dmas():
+        # weights-resident mode: ONE copy of every layer's weights into the
+        # [L, ...] VMEM scratch at t==0, kept across all 16 tokens — the
+        # weight HBM stream drops from 16x to 1x per frame
+        return [
+            pltpu.make_async_copy(wqkv_hbm, wqkv_buf, wsems.at[0, 0]),
+            pltpu.make_async_copy(wo_hbm, wo_buf, wsems.at[0, 1]),
+            pltpu.make_async_copy(gu_hbm, gu_buf, wsems.at[0, 2]),
+            pltpu.make_async_copy(dn_hbm, dn_buf, wsems.at[0, 3]),
+        ]
+
     # ---- token feed
     @pl.when(t == 0)
     def _():
@@ -125,38 +136,54 @@ def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
         vc_sc[...] = jnp.zeros_like(vc_sc)
         for b in range(B):
             codes_ref[b, 0] = code0_ref[b, 0]
-        # warm-up: layer 0 weights into slot 0
-        for dma in weight_dmas(0, 0):
-            dma.start()
+        if resident:
+            for dma in full_dmas():
+                dma.start()
+        else:
+            # warm-up: layer 0 weights into slot 0
+            for dma in weight_dmas(0, 0):
+                dma.start()
 
     @pl.when(t > 0)
     def _():
         x_sc[...] = xnext_sc[...]
 
+    if resident:
+        @pl.when(t == 0)
+        def _():
+            for dma in full_dmas():
+                dma.wait()
+
     seg_q = seg_q_ref[...]                               # [dq, H] f32
     seg_k = seg_k_ref[...]                               # [dkv, HKV] f32
 
     def layer_body(l, x):
-        # slot parity follows the GLOBAL layer counter t*L + l so the
-        # prefetch issued at the previous layer (possibly previous token)
-        # lands in the slot this layer reads
-        gidx = t * L + l
-        slot = jax.lax.rem(gidx, 2)
-        for dma in weight_dmas(l, slot):
-            dma.wait()
-        # prefetch the next layer (wraps to layer 0 of the next token)
-        nl = jax.lax.rem(l + 1, L)
-        nslot = jax.lax.rem(gidx + 1, 2)
+        if resident:
+            wqkv = wqkv_buf[l]                           # [D, qkv_out] int8
+            wo = wo_buf[l]
+            gu_w = gu_buf[l]
+            dn_w = dn_buf[l]
+        else:
+            # slot parity follows the GLOBAL layer counter t*L + l so the
+            # prefetch issued at the previous layer (possibly previous
+            # token) lands in the slot this layer reads
+            gidx = t * L + l
+            slot = jax.lax.rem(gidx, 2)
+            for dma in weight_dmas(l, slot):
+                dma.wait()
+            # prefetch the next layer (wraps to layer 0 of the next token)
+            nl = jax.lax.rem(l + 1, L)
+            nslot = jax.lax.rem(gidx + 1, 2)
 
-        @pl.when(gidx + 1 < N_TOKENS * L)
-        def _():
-            for dma in weight_dmas(nl, nslot):
-                dma.start()
+            @pl.when(gidx + 1 < N_TOKENS * L)
+            def _():
+                for dma in weight_dmas(nl, nslot):
+                    dma.start()
 
-        wqkv = wqkv_buf[slot]                            # [D, qkv_out] int8
-        wo = wo_buf[slot]
-        gu_w = gu_buf[slot]
-        dn_w = dn_buf[slot]
+            wqkv = wqkv_buf[slot]                        # [D, qkv_out] int8
+            wo = wo_buf[slot]
+            gu_w = gu_buf[slot]
+            dn_w = dn_buf[slot]
 
         hn = _rms(x, ln1_ref[l, 0], EPS).astype(jnp.bfloat16)
         qkv = _qmm(hn, wqkv, wqkv_s[l, 0])
@@ -256,14 +283,17 @@ def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg_static", "interpret"))
+                   static_argnames=("cfg_static", "interpret", "resident"))
 def _call(x0, code0, cos, sin, layer_w, fn, head_q, head_s, tables,
-          cfg_static, interpret=False):
+          cfg_static, interpret=False, resident=False):
     (L, B, H, HKV, DH, D, EPS) = cfg_static
     grid = (N_TOKENS,)
     d_ff2 = layer_w["gu_q"].shape[-1]
     d_ff = layer_w["dn_q"].shape[-2]
     qkv_out = layer_w["wqkv_q"].shape[-1]
+    # weights-resident: whole [L, ...] weight arrays live in VMEM scratch;
+    # streaming: 2-slot double buffers
+    n_slots = L if resident else 2
 
     def per_window(shape):
         # head rows for window w = max(t-1, 0); harmless prefetch at t=0
@@ -275,7 +305,8 @@ def _call(x0, code0, cos, sin, layer_w, fn, head_q, head_s, tables,
         shape, lambda t: (0,) * len(shape), memory_space=space)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
 
-    kernel = functools.partial(_kernel, cfg_static=cfg_static)
+    kernel = functools.partial(_kernel, cfg_static=cfg_static,
+                               resident=resident)
     codes = pl.pallas_call(
         kernel,
         grid=grid,
@@ -311,15 +342,15 @@ def _call(x0, code0, cos, sin, layer_w, fn, head_q, head_s, tables,
             pltpu.VMEM((B, 8, D), jnp.bfloat16),          # dma row windows
             pltpu.VMEM((L, N_TOKENS, B, HKV * DH), jnp.bfloat16),  # K
             pltpu.VMEM((L, N_TOKENS, B, HKV * DH), jnp.bfloat16),  # V
-            pltpu.VMEM((2, D, qkv_out), jnp.int8),        # wqkv slots
-            pltpu.VMEM((2, H * DH, D), jnp.int8),         # wo slots
-            pltpu.VMEM((2, D, d_ff2), jnp.int8),          # gate_up slots
-            pltpu.VMEM((2, d_ff, D), jnp.int8),           # down slots
+            pltpu.VMEM((n_slots, D, qkv_out), jnp.int8),  # wqkv slots/layers
+            pltpu.VMEM((n_slots, H * DH, D), jnp.int8),   # wo slots/layers
+            pltpu.VMEM((n_slots, D, d_ff2), jnp.int8),    # gate_up
+            pltpu.VMEM((n_slots, d_ff, D), jnp.int8),     # down
             pltpu.SemaphoreType.DMA((B,)),
             pltpu.SemaphoreType.DMA((2, 4)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=(118 if resident else 100) * 1024 * 1024),
         interpret=interpret,
     )(x0, code0, cos, sin,
       layer_w["ln1"], layer_w["ln2"], layer_w["qn"], layer_w["kn"],
@@ -451,5 +482,20 @@ def predict_frame_fused(cfg, params, h1024, code0, codec_tables_1024,
     codes = _call(x0, c0, cos, sin, layer_w,
                   params["final_norm"].astype(jnp.float32)[None, :],
                   head_q, head_s2, tables,
-                  cfg_static=cfg_static, interpret=interpret)
+                  cfg_static=cfg_static, interpret=interpret,
+                  resident=_fits_resident(cfg))
     return codes[:B]
+
+
+def _fits_resident(cfg) -> bool:
+    """Weights-resident mode: all L layers' int8 weights live in VMEM for
+    the whole frame (one HBM read instead of 16).  The production predictor
+    is ~76 MB — fits v5e/v6e VMEM (128 MB) beside the KV/head scratch.
+    QTTS_PREDICTOR_RESIDENT=0 forces the streaming double-buffer."""
+    import os
+    if os.environ.get("QTTS_PREDICTOR_RESIDENT") == "0":
+        return False
+    qkv_out = (cfg.n_heads + 2 * cfg.n_kv_heads) * cfg.head_dim
+    per_layer = cfg.d_model * (qkv_out + 3 * cfg.d_ff) \
+        + cfg.n_heads * cfg.head_dim * cfg.d_model
+    return cfg.n_layers * per_layer <= 80 * 1024 * 1024

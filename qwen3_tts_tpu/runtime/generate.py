@@ -153,14 +153,16 @@ def _predict_frame_dispatch(cfg: EngineConfig, predictor_params, h1024,
                             code0, tables_1024):
     """Pick the predictor inner-loop implementation.
 
-    Default: the fused XLA path (models.predictor.predict_frame).  Setting
-    QTTS_FUSED_PREDICTOR=1 opts into the single-launch Pallas kernel
-    (kernels/predictor_frame.py) on TPU for decode-shaped batches — ~15-20%
-    faster per frame, but Mosaic's bf16 rounding may flip greedy near-ties
-    relative to the XLA path (identical in interpret mode; see the kernel
-    docstring)."""
+    Default on TPU (decode-shaped batches): the single-launch Pallas
+    megakernel (kernels/predictor_frame.py) with VMEM-resident weights —
+    measured 2.65 vs 4.12 ms/frame for the XLA path on v5e.  Semantics
+    match the XLA path exactly in interpret mode; on hardware Mosaic's
+    bf16 rounding can flip greedy argmax near-ties (immaterial for
+    synthesis: those codes are within the model's own quantization noise).
+    QTTS_FUSED_PREDICTOR=0 opts out (exact XLA-path numerics); big batches
+    and non-TPU backends always use the XLA path."""
     import os
-    if os.environ.get("QTTS_FUSED_PREDICTOR") == "1":
+    if os.environ.get("QTTS_FUSED_PREDICTOR", "1") != "0":
         from ..kernels.flash_decode import use_flash_decode
         from ..kernels.predictor_frame import (predict_frame_fused,
                                                supported)
@@ -288,8 +290,8 @@ def gen_frames_with_audio(cfg: EngineConfig, talker_params, predictor_params,
 
 def _gen_bulk(cfg: EngineConfig, talker_params, predictor_params,
               assets_pack, codec_params, state: GenState, dec_state,
-              sampler: SamplerParams, max_frames: int, chunk: int,
-              prompt_cap: int, uniform_cursor: bool = True):
+              sampler: SamplerParams, budgets=None, *, max_frames: int,
+              chunk: int, prompt_cap: int, uniform_cursor: bool = True):
     """Whole-request generation in ONE device program.
 
     A `lax.while_loop` over `chunk`-frame groups replaces the host chunk
@@ -305,14 +307,21 @@ def _gen_bulk(cfg: EngineConfig, talker_params, predictor_params,
     else the codec decode is fused per chunk and wav is written into a
     preallocated [B, F*spf] buffer.
 
+    `budgets` [B] int32 (traced) are per-lane frame budgets <= max_frames
+    (wave batching: each request carries its own); a lane is done when it
+    hits EOS or its budget, and the loop exits when every lane is done.
+
     Returns (state, dec_state, codes [B, F, 16], valid [B, F],
     wav [B, F*spf] or None, frames_done scalar) with F = max_frames rounded
-    up to a whole number of chunks; columns >= max_frames are always
+    up to a whole number of chunks; columns >= budgets[lane] are always
     flagged invalid so the frame budget is exact.
     """
     from ..models.codec import decoder as codec_decoder
 
     b = state.hidden.shape[0]
+    if budgets is None:
+        budgets = max_frames
+    budgets = jnp.broadcast_to(jnp.asarray(budgets, jnp.int32), (b,))
     n_chunks = -(-max_frames // chunk)
     f_cap = n_chunks * chunk
     with_audio = codec_params is not None
@@ -341,14 +350,17 @@ def _gen_bulk(cfg: EngineConfig, talker_params, predictor_params,
                 cfg.codec_decoder, codec_params, codes, dec_state)
             wav_buf = jax.lax.dynamic_update_slice(
                 wav_buf, wav.astype(jnp.float32), (0, ci * chunk * spf))
+        # a lane that exhausted its own budget is done (stops the loop as
+        # soon as every lane is done — EOS or budget, whichever first)
+        state = state.replace(done=state.done | ((ci + 1) * chunk >= budgets))
         return ci + 1, state, dec_state, codes_buf, valid_buf, wav_buf
 
     ci, state, dec_state, codes_buf, valid_buf, wav_buf = jax.lax.while_loop(
         cond, body,
         (jnp.zeros((), jnp.int32), state, dec_state, codes_buf, valid_buf,
          wav_buf))
-    # exact frame budget: chunks past max_frames never count
-    valid_buf = valid_buf & (jnp.arange(f_cap) < max_frames)[None, :]
+    # exact per-lane frame budget: columns past a lane's budget never count
+    valid_buf = valid_buf & (jnp.arange(f_cap)[None, :] < budgets[:, None])
     return (state, dec_state, codes_buf, valid_buf,
             wav_buf if with_audio else None, ci * chunk)
 
@@ -422,11 +434,14 @@ class Generator:
 
     def run_bulk(self, state: GenState, dec_state, sampler: SamplerParams,
                  prompt_cap: int, max_frames: int, n_frames: int = None,
-                 uniform_cursor: bool = True):
+                 budgets=None, uniform_cursor: bool = True):
         """One-dispatch whole-request generation (see _gen_bulk).  With
         codec_params fused codec decode is included; otherwise pass
-        dec_state=0 and wav comes back None (ONNX-codec path)."""
+        dec_state=0 and wav comes back None (ONNX-codec path).  budgets:
+        optional [B] per-lane frame budgets (default max_frames)."""
         n = n_frames or self.cfg.runtime.frames_per_chunk
+        if budgets is None:
+            budgets = jnp.int32(max_frames)
         if not hasattr(self, "_gen_bulk"):
             donate = (("state", "dec_state")
                       if self.cfg.runtime.donate_cache else ())
@@ -438,15 +453,18 @@ class Generator:
         return self._gen_bulk(
             self.talker_params, self.predictor_params, self.assets_pack,
             self.codec_params, state, dec_state, sampler,
+            jnp.asarray(budgets, jnp.int32),
             max_frames=max_frames, chunk=n, prompt_cap=prompt_cap,
             uniform_cursor=uniform_cursor)
 
     def run_bulk_codes(self, state: GenState, sampler: SamplerParams,
                        prompt_cap: int, max_frames: int, n_frames: int = None,
-                       uniform_cursor: bool = True):
+                       budgets=None, uniform_cursor: bool = True):
         """Codes-only bulk generation (the codec runs separately — ONNX
         path).  Returns (state, codes, valid, frames_done)."""
         n = n_frames or self.cfg.runtime.frames_per_chunk
+        if budgets is None:
+            budgets = jnp.int32(max_frames)
         if not hasattr(self, "_gen_bulk_codes"):
             donate = ("state",) if self.cfg.runtime.donate_cache else ()
             self._gen_bulk_codes = jax.jit(
@@ -457,6 +475,7 @@ class Generator:
         state, _, codes, valid, _, done = self._gen_bulk_codes(
             self.talker_params, self.predictor_params, self.assets_pack,
             state=state, dec_state=jnp.zeros(()), sampler=sampler,
+            budgets=jnp.asarray(budgets, jnp.int32),
             max_frames=max_frames, chunk=n, prompt_cap=prompt_cap,
             uniform_cursor=uniform_cursor)
         return state, codes, valid, done

@@ -99,13 +99,18 @@ class BatchSynthesizer:
         state = eng.generator.start(embeds_j, jnp.asarray(lens),
                                     jax.random.PRNGKey(seed))
         sampler = SamplerParams.make(eng.sampler_config)
-        from .codec_path import LaneCodec
-        codec = LaneCodec(eng, b)
-
         budgets = np.asarray(
             [(wave[i].max_frames if i < n_real and wave[i].max_frames
               else eng.max_steps) for i in range(n_real)]
             + [eng.max_steps] * (b - n_real), np.int64)
+
+        import os
+        if os.environ.get("QTTS_BULK", "1") != "0":
+            return self._run_wave_bulk(state, sampler, bucket, budgets,
+                                       n_real)
+
+        from .codec_path import LaneCodec
+        codec = LaneCodec(eng, b)
         wavs: List[List[np.ndarray]] = [[] for _ in range(b)]
         n_frames = np.zeros(b, np.int64)
         saw_eos = np.zeros(b, bool)
@@ -149,4 +154,57 @@ class BatchSynthesizer:
                 audio=AudioSample(samples=samples.astype(np.float32),
                                   sample_rate=P_.SAMPLE_RATE, channels=1),
                 frames=int(n_frames[i]), eos=bool(saw_eos[i])))
+        return results
+
+    def _run_wave_bulk(self, state, sampler, bucket: int,
+                       budgets: np.ndarray, n_real: int) -> List[BatchResult]:
+        """Whole wave in ONE device program (runtime.generate._gen_bulk with
+        per-lane budgets): no host sync per chunk — at high transport
+        latency the chunked wave loop pays ~2 round-trips per 4 frames.
+        A lane is done at EOS or its own budget; the program exits when all
+        lanes are."""
+        eng = self.engine
+        cfg = eng.config
+        spf = cfg.codec_decoder.samples_per_frame
+        max_frames = int(budgets.max())
+        bj = jnp.asarray(budgets, jnp.int32)
+
+        if eng.onnx_decoder is not None:
+            state, codes, valid, _ = eng.generator.run_bulk_codes(
+                state, sampler, prompt_cap=bucket, max_frames=max_frames,
+                budgets=bj)
+            codes_np = np.asarray(codes)
+            valid_np = np.asarray(valid)
+            results = []
+            for i in range(n_real):
+                k = int(valid_np[i].sum())
+                if k > 0:
+                    wav, _ = eng.onnx_decoder.decode(
+                        codes_np[i, :k], eng.onnx_decoder.create_state(),
+                        is_final=True)
+                    samples = np.asarray(wav, np.float32)
+                else:
+                    samples = np.zeros(0, np.float32)
+                results.append(BatchResult(
+                    audio=AudioSample(samples=samples,
+                                      sample_rate=P_.SAMPLE_RATE, channels=1),
+                    frames=k, eos=k < int(budgets[i])))
+            return results
+
+        from ..models.codec import decoder as codec_decoder
+        dec_state = codec_decoder.init_decoder_state(
+            cfg.codec_decoder, eng.codec_decoder_params,
+            batch=self.batch_size)
+        state, dec_state, codes, valid, wav, _ = eng.generator.run_bulk(
+            state, dec_state, sampler, prompt_cap=bucket,
+            max_frames=max_frames, budgets=bj)
+        wav_np = np.asarray(wav)
+        valid_np = np.asarray(valid)
+        results = []
+        for i in range(n_real):
+            k = int(valid_np[i].sum())
+            results.append(BatchResult(
+                audio=AudioSample(samples=wav_np[i, : k * spf].astype(
+                    np.float32), sample_rate=P_.SAMPLE_RATE, channels=1),
+                frames=k, eos=k < int(budgets[i])))
         return results

@@ -136,6 +136,56 @@ def test_bulk_codes_only_matches_fused(setup):
     assert np.array_equal(np.asarray(valid_f), np.asarray(valid_c))
 
 
+def test_bulk_per_lane_budgets(setup):
+    """Heterogeneous per-lane budgets: each lane's valid frames stop at its
+    own budget; the loop exits once every lane is done."""
+    cfg, tp, pp, pack, dp = setup
+    chunk = cfg.runtime.frames_per_chunk
+    state = _start(cfg, tp, b=2)
+    dec = codec_decoder.init_decoder_state(cfg.codec_decoder, dp, batch=2)
+    budgets = jnp.asarray([3, 9], jnp.int32)
+    state, dec, codes, valid, wav, done = gen._gen_bulk(
+        cfg, tp, pp, pack, dp, state, dec, _sampler(), budgets,
+        max_frames=12, chunk=chunk, prompt_cap=8)
+    v = np.asarray(valid)
+    assert v[0].sum() <= 3 and not v[0, 3:].any()
+    assert v[1].sum() <= 9 and not v[1, 9:].any()
+    # with no EOS sampled, exactly the budget is valid
+    if v[0].sum() == 3 and v[1].sum() == 9:
+        assert int(done) == 12  # 3 chunks: lane 1 needs frames through 9
+    assert np.asarray(state.done).all()
+
+
+def test_wave_bulk_matches_chunked_loop(tiny_engine, monkeypatch):
+    """BatchSynthesizer through the bulk program == the chunked wave loop,
+    including per-request max_frames budgets and eos flags."""
+    from qwen3_tts_tpu.core.config import SamplerConfig
+    from qwen3_tts_tpu.serve.batch import BatchRequest, BatchSynthesizer
+    eng = tiny_engine
+    eng.set_max_steps(8)
+    voice = eng.get_speaker("vivian")
+    synth = BatchSynthesizer(eng, batch_size=2)
+    reqs = [BatchRequest("first request", voice, max_frames=3),
+            BatchRequest("second longer request", voice)]
+
+    old = eng.get_sampler_config()
+    try:
+        eng.set_sampler_config(SamplerConfig(seed=21))
+        monkeypatch.setenv("QTTS_BULK", "1")
+        r_bulk = synth.synthesize(reqs)
+        eng.set_sampler_config(SamplerConfig(seed=21))
+        monkeypatch.setenv("QTTS_BULK", "0")
+        r_loop = synth.synthesize(reqs)
+    finally:
+        eng.set_sampler_config(old)
+    for a, b in zip(r_bulk, r_loop):
+        assert a.frames == b.frames
+        assert a.eos == b.eos
+        np.testing.assert_allclose(a.audio.samples, b.audio.samples,
+                                   rtol=1e-5, atol=1e-5)
+    assert r_bulk[0].frames <= 3
+
+
 def test_engine_bulk_matches_streaming(tiny_engine, monkeypatch):
     """engine.generate_with_voice (bulk) == concatenated generate_stream
     (host loop) with the same seed."""

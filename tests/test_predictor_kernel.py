@@ -47,6 +47,7 @@ def test_supported_gate():
 
 
 def test_fused_matches_xla_reference(setup):
+    """Default mode (weights-resident when they fit VMEM, as here)."""
     cfg, params, tables = setup
     h = jax.random.normal(jax.random.PRNGKey(2), (2, 128), jnp.float32)
     c0 = jnp.asarray([5, 99], jnp.int32)
@@ -55,6 +56,20 @@ def test_fused_matches_xla_reference(setup):
                                          interpret=True))
     np.testing.assert_array_equal(got, ref)
     assert got[0, 0] == 5 and got[1, 0] == 99      # code0 passthrough
+
+
+def test_fused_streaming_variant_matches(setup, monkeypatch):
+    """QTTS_PREDICTOR_RESIDENT=0 forces the double-buffered weight stream;
+    the two kernel modes must agree exactly."""
+    cfg, params, tables = setup
+    h = jax.random.normal(jax.random.PRNGKey(2), (2, 128), jnp.float32)
+    c0 = jnp.asarray([5, 99], jnp.int32)
+    res = np.asarray(predict_frame_fused(cfg, params, h, c0, tables,
+                                         interpret=True))
+    monkeypatch.setenv("QTTS_PREDICTOR_RESIDENT", "0")
+    stream = np.asarray(predict_frame_fused(cfg, params, h, c0, tables,
+                                            interpret=True))
+    np.testing.assert_array_equal(res, stream)
 
 
 def test_fused_deterministic_and_in_range(setup):
