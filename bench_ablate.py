@@ -62,6 +62,32 @@ if WHICH in ('all', 'full'):
     t = timeit(full_steps, x0, cache)
     print(f"full talker step: {(t-base)/N*1e3:.3f} ms/step", flush=True)
 
+# ---- fused talker-step megakernel (kernels/talker_step.py)
+if WHICH in ('all', 'kernel'):
+    from qwen3_tts_tpu.kernels.talker_step import talker_step_fused
+    from qwen3_tts_tpu.ops.norms import rms_norm
+
+    @jax.jit
+    def kernel_steps(x, k, v):
+        lengths = jnp.full((B,), PC, jnp.int32)
+        from qwen3_tts_tpu.models.talker import _rope_tables
+        def body(carry, t):
+            x, k, v = carry
+            p = jnp.full((B, 1), PC + t, jnp.int32)
+            pos4 = jnp.stack([p, p, p, jnp.zeros_like(p)], axis=-1)
+            cos, sin = _rope_tables(cfg, pos4)
+            h1, k, v = talker_step_fused(
+                cfg, params, x[:, 0].astype(jnp.bfloat16), cos[:, 0],
+                sin[:, 0], k, v, lengths, PC + t, PC)
+            h = rms_norm(h1, params["final_norm"], cfg.rms_eps)
+            x = (x + h[:, None, :] * 1e-6).astype(x.dtype)
+            return (x, k, v), None
+        (x, k, v), _ = jax.lax.scan(body, (x, k, v), jnp.arange(N))
+        return x
+
+    t = timeit(kernel_steps, x0, cache.k, cache.v)
+    print(f"kernel step:      {(t-base)/N*1e3:.3f} ms/step", flush=True)
+
 # ---- no attention (identity) — same matmuls/weight bytes
 def decoder_noattn(x, cache):
     b, s, d = x.shape

@@ -1,0 +1,460 @@
+"""Fused talker decode-step Pallas kernel: the whole 28-layer step in ONE
+launch.
+
+The XLA decode step costs ~3.5 ms/frame against a ~1.7 ms int8 weight-stream
+floor: 28 separate flash-attention launches, 112 int8 matvecs the compiler
+schedules conservatively, plus per-layer KV cache glue.  This kernel runs
+the full layer stack in a single pallas_call with grid=(n_layers,):
+
+  * int8 layer weights stream HBM->VMEM with hand-rolled async DMA, ONE
+    slot per matrix type (wqkv/wo/gate_up/down, ~50 MB resident): each
+    matrix's next-layer copy is issued the moment the current layer is done
+    with that slot, so the per-layer time approaches the 61 us aggregate
+    DMA time of its ~50 MB of weights;
+  * the KV cache stays in HBM in the global [L, B, Hkv, C, Dh] layout;
+    per layer the LIVE prefix (slots [0, write_idx)) is streamed in
+    [Hkv, CHUNK, Dh] chunks (double-buffered) with flash-style online
+    softmax, and the current token's k/v are appended in-register and
+    written back with one DMA per (batch, k|v);
+  * the residual activation lives in VMEM scratch across grid steps;
+    the final RMS norm and the 2160-row codec head run outside in XLA
+    (one small matmul).
+
+Numerics follow models/transformer.decoder_forward op-for-op (same
+bf16/f32 rounding points); interpret-mode equality is tested in
+tests/test_talker_kernel.py.  Like the predictor kernel, Mosaic's bf16
+rounding on hardware may differ from XLA in the last ulps.
+
+Reference parity: this replaces the per-step path of llama.cpp decode used
+by the reference (engine.rs:545-642 -> llama/mod.rs); same GQA + qk-norm +
+M-RoPE + SwiGLU structure.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KV_CHUNK = 512
+NEG_INF = -1e30
+
+
+def _blk_rotate_half(x, dh):
+    """rotate_half inside each packed dh-lane head block (lane rolls +
+    iota mask; Mosaic cannot reshape the lane dim)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1) % dh
+    n = x.shape[-1]
+    left = pltpu.roll(x, n - dh // 2, axis=x.ndim - 1)   # x[d + dh/2]
+    right = pltpu.roll(x, dh // 2, axis=x.ndim - 1)      # x[d - dh/2]
+    return jnp.where(lane < dh // 2, -left, right)
+
+
+def _blk_rms(x, w_tiled, seg, dh, eps):
+    """Per-head RMS norm over packed dh-lane blocks via the 0/1 segment
+    matrix seg [n_lanes, n_heads]."""
+    xf = x.astype(jnp.float32)
+    ms = jax.lax.dot_general(xf * xf, seg, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) / dh
+    inv = jax.lax.rsqrt(ms + eps)
+    inv_b = jax.lax.dot_general(inv, seg, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    return xf * inv_b * w_tiled
+
+
+def _rms(x, w, eps):
+    xf = x.astype(jnp.float32)
+    return (xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                               + eps)) * w.astype(jnp.float32)
+
+
+def _qmm(x_bf16, w_int8, scale_row):
+    """Same rounding structure as ops.quant.matmul."""
+    y = jax.lax.dot_general(
+        x_bf16, w_int8.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    return y * scale_row.astype(jnp.bfloat16)
+
+
+def _kernel(lengths_ref, start_ref,                      # scalar prefetch
+            x0_ref, cos_ref, sin_ref,
+            ln1_ref, ln2_ref, qn_ref, kn_ref, seg_q_ref, seg_k_ref,
+            wqkv_s, wo_s, gu_s, dn_s,
+            wqkv_hbm, wo_hbm, gu_hbm, dn_hbm, k_hbm, v_hbm,
+            out_ref, k_tok_ref, v_tok_ref,   # per-layer new-token k/v out
+            x_sc, k_sc, v_sc, q3_sc, kn3_sc, vn3_sc, ctx_sc,
+            wqkv_buf, wo_buf, gu_buf, dn_buf,
+            kv_sems, wsems,
+            *, cfg_static):
+    (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
+    l = pl.program_id(0)
+    rep = H // HKV
+    dq = H * DH
+    dkv = HKV * DH
+    start = start_ref[0]                   # uniform write cursor (slot of
+    n_chunks = pl.cdiv(start, KV_CHUNK)    # this token); prefix = [0, start)
+
+    def wdma(which, layer):
+        hbm, buf = [(wqkv_hbm, wqkv_buf), (wo_hbm, wo_buf),
+                    (gu_hbm, gu_buf), (dn_hbm, dn_buf)][which]
+        return pltpu.make_async_copy(hbm.at[layer], buf, wsems.at[which])
+
+    @pl.when(l == 0)
+    def _():
+        x_sc[...] = x0_ref[...]
+        for w in range(4):
+            wdma(w, 0).start()
+
+    x = x_sc[...]
+
+    # ---- qkv
+    wdma(0, l).wait()
+    hn = _rms(x, ln1_ref[l], EPS).astype(jnp.bfloat16)
+    qkv = _qmm(hn, wqkv_buf[...], wqkv_s[l])
+
+    @pl.when(l + 1 < L)
+    def _():
+        wdma(0, l + 1).start()
+
+    q = qkv[:, :dq]
+    k = qkv[:, dq: dq + dkv]
+    v = qkv[:, dq + dkv:]
+    q = _blk_rms(q, qn_ref[l], seg_q_ref[...], DH, EPS).astype(jnp.bfloat16)
+    k = _blk_rms(k, kn_ref[l], seg_k_ref[...], DH, EPS).astype(jnp.bfloat16)
+    cos_q = cos_ref[...]                                 # [B, dq] f32
+    sin_q = sin_ref[...]
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    q = (qf * cos_q + _blk_rotate_half(qf, DH) * sin_q).astype(jnp.bfloat16)
+    k = (kf * cos_q[:, :dkv] + _blk_rotate_half(kf, DH) * sin_q[:, :dkv]
+         ).astype(jnp.bfloat16)
+
+    # stage q/k/v into per-head layout: [HKV, rep*BP, DH] / [HKV, BP, DH]
+    for j in range(HKV):
+        for c in range(rep):
+            h = j * rep + c
+            q3_sc[j, c * BP:(c + 1) * BP] = q[:, h * DH:(h + 1) * DH]
+        kn3_sc[j] = k[:, j * DH:(j + 1) * DH]
+        vn3_sc[j] = v[:, j * DH:(j + 1) * DH]
+
+    # new-token k/v leave as a per-layer output block; the caller scatters
+    # them into the cache with one fused dynamic_update_slice (in-place
+    # under donation) — VMEM sublane slicing rules out per-lane DMAs here
+    k_tok_ref[0] = kn3_sc[...]
+    v_tok_ref[0] = vn3_sc[...]
+
+    # ---- flash attention over the live prefix, chunked + double-buffered
+    q3 = q3_sc[...].astype(jnp.float32) * (DH ** -0.5)   # [HKV, rB, DH]
+
+    def kv_dma(slot, ci, b):
+        # [HKV, KV_CHUNK, DH] chunk of lane b's cache for this layer
+        return (pltpu.make_async_copy(
+                    k_hbm.at[l, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
+                    k_sc.at[slot, b], kv_sems.at[slot, b, 0]),
+                pltpu.make_async_copy(
+                    v_hbm.at[l, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
+                    v_sc.at[slot, b], kv_sems.at[slot, b, 1]))
+
+    @pl.when(n_chunks > 0)
+    def _():
+        for b in range(B):
+            for dma in kv_dma(0, 0, b):
+                dma.start()
+
+    def chunk_body(ci, carry):
+        m, s_sum, acc = carry
+        slot = jax.lax.rem(ci, 2)
+        nslot = jax.lax.rem(ci + 1, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            for b in range(B):
+                for dma in kv_dma(nslot, ci + 1, b):
+                    dma.start()
+
+        for b in range(B):
+            for dma in kv_dma(slot, ci, b):
+                dma.wait()
+
+        ks = k_sc[slot].astype(jnp.float32)              # [B, HKV, CK, DH]
+        vs = v_sc[slot].astype(jnp.float32)
+        # scores per lane b: q3 is [HKV, rep*B, DH] with lane b at rows
+        # c*B + b; batched dot over HKV
+        c_idx = ci * KV_CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, KV_CHUNK), 2)              # [1, 1, CK]
+        m_new, s_new, acc_new = m, s_sum, acc
+        # process each batch lane's chunk (its validity differs)
+        for b in range(B):
+            sb = jax.lax.dot_general(
+                q3, ks[b], (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # [HKV, rB, CK]
+            valid = (c_idx < lengths_ref[b]) | \
+                ((c_idx >= PCAP) & (c_idx < start))
+            sb = jnp.where(valid, sb, NEG_INF)
+            # mask out other lanes' rows so their running stats don't move
+            rowb = jax.lax.broadcasted_iota(jnp.int32, sb.shape, 1) % BP == b
+            sb = jnp.where(rowb, sb, NEG_INF)
+            mb = jnp.maximum(m, jnp.max(sb, axis=2, keepdims=True))
+            p = jnp.exp(sb - mb)                         # [HKV, rB, CK]
+            alpha = jnp.exp(m - mb)
+            ab = acc * alpha + jax.lax.dot_general(
+                p, vs[b], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # [HKV, rB, DH]
+            sb_sum = s_sum * alpha + jnp.sum(p, axis=2, keepdims=True)
+            m_new = jnp.where(rowb[:, :, :1], mb, m_new)
+            s_new = jnp.where(rowb[:, :, :1], sb_sum, s_new)
+            acc_new = jnp.where(rowb[:, :, :1], ab, acc_new)
+        return m_new, s_new, acc_new
+
+    rB = rep * BP
+    m0 = jnp.full((HKV, rB, 1), NEG_INF, jnp.float32)
+    s0 = jnp.zeros((HKV, rB, 1), jnp.float32)
+    a0 = jnp.zeros((HKV, rB, DH), jnp.float32)
+    m, s_sum, acc = jax.lax.fori_loop(0, n_chunks, chunk_body, (m0, s0, a0))
+
+    # current token column (always valid, self-attention).  Row c*B + b of
+    # q3 pairs with kn3 row b; select via a row%B == col mask on the full
+    # [rB, B] score block (Mosaic has no tiny-sublane concat/tile).
+    kn3 = kn3_sc[...].astype(jnp.float32)                # [HKV, B, DH]
+    vn3 = vn3_sc[...].astype(jnp.float32)
+    sc_all = jax.lax.dot_general(
+        q3, kn3, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [HKV, rB, B]
+    rowm = jax.lax.broadcasted_iota(jnp.int32, sc_all.shape, 1) % BP
+    colm = jax.lax.broadcasted_iota(jnp.int32, sc_all.shape, 2)
+    sel = rowm == colm
+    s_cur = jnp.sum(jnp.where(sel, sc_all, 0.0), axis=2,
+                    keepdims=True)                       # [HKV, rB, 1]
+    m_f = jnp.maximum(m, s_cur)
+    alpha = jnp.exp(m - m_f)
+    p_cur = jnp.exp(s_cur - m_f)
+    pv = jax.lax.dot_general(
+        jnp.where(sel, p_cur, 0.0), vn3, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)              # [HKV, rB, DH]
+    acc = acc * alpha + pv
+    s_sum = s_sum * alpha + p_cur
+    ctx3 = acc / jnp.maximum(s_sum, 1e-30)               # [HKV, rB, DH]
+
+    # unpack back to packed lanes [B, dq] via scratch-ref lane slices
+    for j in range(HKV):
+        for c in range(rep):
+            h = j * rep + c
+            ctx_sc[:, h * DH:(h + 1) * DH] = \
+                ctx3[j, c * BP:(c + 1) * BP].astype(jnp.float32)
+    ctx = ctx_sc[...]
+
+    wdma(1, l).wait()
+    x = x + _qmm(ctx.astype(jnp.bfloat16), wo_buf[...], wo_s[l])
+
+    @pl.when(l + 1 < L)
+    def _():
+        wdma(1, l + 1).start()
+
+    # ---- SwiGLU MLP
+    wdma(2, l).wait()
+    hn2 = _rms(x, ln2_ref[l], EPS).astype(jnp.bfloat16)
+    gup = _qmm(hn2, gu_buf[...], gu_s[l])
+
+    @pl.when(l + 1 < L)
+    def _():
+        wdma(2, l + 1).start()
+
+    f_half = gup.shape[-1] // 2
+    gf = gup[:, :f_half].astype(jnp.float32)
+    ff = (gf * jax.nn.sigmoid(gf)).astype(jnp.bfloat16) * gup[:, f_half:]
+    wdma(3, l).wait()
+    x = x + _qmm(ff, dn_buf[...], dn_s[l])
+
+    @pl.when(l + 1 < L)
+    def _():
+        wdma(3, l + 1).start()
+
+    x_sc[...] = x
+
+    @pl.when(l == L - 1)
+    def _():
+        out_ref[...] = x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg_static", "interpret"))
+def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
+          cfg_static, interpret=False):
+    (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
+    rep = H // HKV
+    dq = H * DH
+    dkv = HKV * DH
+    d_ff2 = layer_w["gu_q"].shape[-1]
+    d_ff = layer_w["dn_q"].shape[-2]
+    qkv_out = layer_w["wqkv_q"].shape[-1]
+    cap_pad = ((CAP + KV_CHUNK - 1) // KV_CHUNK) * KV_CHUNK
+    k_in, v_in = k_cache, v_cache
+    if cap_pad != CAP:
+        pad = [(0, 0), (0, 0), (0, 0), (0, cap_pad - CAP), (0, 0)]
+        k_in = jnp.pad(k_cache, pad)
+        v_in = jnp.pad(v_cache, pad)
+
+    fixed = lambda shape, space=pltpu.VMEM: pl.BlockSpec(
+        shape, lambda l, *_: (0,) * len(shape), memory_space=space)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+
+    kernel = functools.partial(_kernel, cfg_static=cfg_static)
+    out, k_tok, v_tok = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(L,),
+            in_specs=[
+                fixed((BP, D)),                           # x0 bf16
+                fixed((BP, dq)),                          # cos (lane-tiled)
+                fixed((BP, dq)),                          # sin
+                fixed((L, D)),                            # ln1
+                fixed((L, D)),                            # ln2
+                fixed((L, dq)),                           # q_norm tiled
+                fixed((L, dkv)),                          # k_norm tiled
+                fixed((dq, H)),                           # seg_q
+                fixed((dkv, HKV)),                        # seg_k
+                fixed((L, qkv_out)),                      # scales
+                fixed((L, D)),
+                fixed((L, d_ff2)),
+                fixed((L, D)),
+                hbm, hbm, hbm, hbm,                       # weights int8
+                hbm, hbm,                                 # k/v cache
+            ],
+            out_specs=[
+                fixed((BP, D)),
+                pl.BlockSpec((1, HKV, BP, DH), lambda l, *_: (l, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, HKV, BP, DH), lambda l, *_: (l, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((BP, D), jnp.bfloat16),        # x residual
+                pltpu.VMEM((2, B, HKV, KV_CHUNK, DH), jnp.bfloat16),
+                pltpu.VMEM((2, B, HKV, KV_CHUNK, DH), jnp.bfloat16),
+                pltpu.VMEM((HKV, rep * BP, DH), jnp.bfloat16),  # q3
+                pltpu.VMEM((HKV, BP, DH), jnp.bfloat16),  # k new
+                pltpu.VMEM((HKV, BP, DH), jnp.bfloat16),  # v new
+                pltpu.VMEM((BP, dq), jnp.float32),        # ctx unpack
+                pltpu.VMEM((D, qkv_out), jnp.int8),
+                pltpu.VMEM((dq, D), jnp.int8),
+                pltpu.VMEM((D, d_ff2), jnp.int8),
+                pltpu.VMEM((d_ff, D), jnp.int8),
+                pltpu.SemaphoreType.DMA((2, B, 2)),       # kv chunk dma
+                pltpu.SemaphoreType.DMA((4,)),            # weight streams
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((BP, D), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, HKV, BP, DH), jnp.bfloat16),
+            jax.ShapeDtypeStruct((L, HKV, BP, DH), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), jnp.reshape(start, (1,)).astype(jnp.int32),
+      x0, cos, sin,
+      layer_w["ln1"], layer_w["ln2"], layer_w["qn"], layer_w["kn"],
+      layer_w["seg_q"], layer_w["seg_k"],
+      layer_w["wqkv_s"], layer_w["wo_s"], layer_w["gu_s"], layer_w["dn_s"],
+      layer_w["wqkv_q"], layer_w["wo_q"], layer_w["gu_q"], layer_w["dn_q"],
+      k_in, v_in)
+    # scatter the new token's k/v into the (donated, in-place) cache with
+    # one fused dynamic_update_slice per cache
+    k_tok = jnp.transpose(k_tok, (0, 2, 1, 3))[:, :B]     # [L, B, HKV, DH]
+    v_tok = jnp.transpose(v_tok, (0, 2, 1, 3))[:, :B]
+    start_i = jnp.asarray(start, jnp.int32)
+    k_new = jax.lax.dynamic_update_slice(
+        k_cache, k_tok[:, :, :, None, :].astype(k_cache.dtype),
+        (0, 0, 0, start_i, 0))
+    v_new = jax.lax.dynamic_update_slice(
+        v_cache, v_tok[:, :, :, None, :].astype(v_cache.dtype),
+        (0, 0, 0, start_i, 0))
+    return out[:B], k_new, v_new
+
+
+def _seg_matrix(n_heads, dh):
+    seg = np.zeros((n_heads * dh, n_heads), np.float32)
+    for h in range(n_heads):
+        seg[h * dh:(h + 1) * dh, h] = 1.0
+    return seg
+
+
+def prep_layer_weights(cfg, params) -> Dict[str, Any]:
+    """Kernel-ready form of the stacked talker layers (int8 + f32 scales,
+    tiled per-head norms).  No head permutation: attention runs per-kv-head
+    with q heads addressed directly by lane block."""
+    from ..ops.quant import is_quantized, quantize_weight
+    lw = params["layers"]
+    H, HKV = cfg.n_heads, cfg.n_kv_heads
+
+    def qs(w):
+        if is_quantized(w):
+            return w["q"], w["s"]
+        q = quantize_weight(w, axis=-2)
+        return q["q"], q["s"]
+
+    wqkv_q, wqkv_s = qs(lw["wqkv"])
+    wo_q, wo_s = qs(lw["wo"])
+    gu_q, gu_s = qs(lw["w_gate_up"])
+    dn_q, dn_s = qs(lw["w_down"])
+    return {
+        "ln1": lw["ln1"].astype(jnp.float32),
+        "ln2": lw["ln2"].astype(jnp.float32),
+        "qn": jnp.tile(lw["q_norm"].astype(jnp.float32), (1, H)),
+        "kn": jnp.tile(lw["k_norm"].astype(jnp.float32), (1, HKV)),
+        "seg_q": jnp.asarray(_seg_matrix(H, cfg.head_dim)),
+        "seg_k": jnp.asarray(_seg_matrix(HKV, cfg.head_dim)),
+        "wqkv_q": wqkv_q, "wqkv_s": wqkv_s.astype(jnp.float32),
+        "wo_q": wo_q, "wo_s": wo_s.astype(jnp.float32),
+        "gu_q": gu_q, "gu_s": gu_s.astype(jnp.float32),
+        "dn_q": dn_q, "dn_s": dn_s.astype(jnp.float32),
+    }
+
+
+def supported(cfg, batch: int) -> bool:
+    """Decode-shaped single/few-stream batches with standard dims."""
+    return (batch <= 4
+            and cfg.head_dim == 128
+            and cfg.d_model % 128 == 0
+            and cfg.n_heads % cfg.n_kv_heads == 0)
+
+
+def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
+                      lengths, write_idx, prompt_cap: int,
+                      interpret: bool = False
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One decode step over all layers.
+
+    x [B, D] bf16 feedback embedding (already rms-normed? no — raw input);
+    cos/sin [B, 1, DH] rope tables for the current position (uniform across
+    batch is NOT required — but the kernel tiles lane-wise, so pass the
+    per-head-identical [DH] row); cache_k/v [L, B, HKV, C, DH];
+    lengths [B]; write_idx scalar (uniform cursor).
+    Returns (hidden [B, D] BEFORE final norm, k_cache, v_cache updated).
+    """
+    L = cfg.n_layers
+    B = x.shape[0]
+    BP = B + (B % 2)        # bf16 sublane slices need 2-alignment
+    cfg_static = (L, B, BP, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim,
+                  cfg.d_model, cfg.rms_eps, cache_k.shape[3], prompt_cap)
+    # cos/sin arrive [B, 1, DH] (per-lane position rows, identical across
+    # heads); tile across the packed q lanes -> [BP, dq]
+    cos_t = jnp.tile(cos.reshape(B, cfg.head_dim), (1, cfg.n_heads))
+    sin_t = jnp.tile(sin.reshape(B, cfg.head_dim), (1, cfg.n_heads))
+    x = x.astype(jnp.bfloat16)
+    if BP != B:
+        pad = ((0, BP - B), (0, 0))
+        x = jnp.pad(x, pad)
+        cos_t = jnp.pad(cos_t, pad)
+        sin_t = jnp.pad(sin_t, pad)
+    layer_w = prep_layer_weights(cfg, params)
+    return _call(x, cos_t.astype(jnp.float32),
+                 sin_t.astype(jnp.float32), layer_w, cache_k, cache_v,
+                 lengths, write_idx, cfg_static=cfg_static,
+                 interpret=interpret)

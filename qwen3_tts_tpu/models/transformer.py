@@ -104,6 +104,22 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     # Pallas flash-decode for single-token steps on TPU: reads only the live
     # prefix of the cache from HBM (see kernels/flash_decode.py).
     from ..kernels.flash_decode import use_flash_decode
+
+    # Whole-step Pallas megakernel (all layers, streamed int8 weights, fused
+    # flash attention): one launch instead of 28 (kernels/talker_step.py).
+    import os as _os
+    if (s == 1 and uniform_cursor and use_flash_decode()
+            and _os.environ.get("QTTS_FUSED_TALKER") == "1"):
+        from ..kernels import talker_step as _ts
+        if _ts.supported(cfg, b):
+            hidden1, k_new, v_new = _ts.talker_step_fused(
+                cfg, params, x[:, 0], cos[:, 0], sin[:, 0],
+                cache.k, cache.v, cache.lengths, write_at, prompt_cap)
+            hidden = rms_norm(hidden1[:, None, :], params["final_norm"],
+                              cfg.rms_eps)
+            new_cache = cache.replace(k=k_new, v=v_new,
+                                      write_idx=start + jnp.int32(1))
+            return hidden, new_cache
     # head_dim must fill whole 128-wide lanes: Mosaic rejects cache slices
     # whose last dim is narrower (tiny test configs use dh=16).
     use_flash = (s == 1 and getattr(cfg, "flash_decode", True)

@@ -1,0 +1,133 @@
+"""Fused talker-step Pallas kernel vs the XLA decode path (interpret mode).
+
+Validates the whole-step megakernel (kernels/talker_step.py): streamed
+weights, chunked flash attention over the live cache prefix with per-lane
+lengths, current-token append, cache write-back via input/output aliasing.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from qwen3_tts_tpu.core.config import TalkerConfig
+from qwen3_tts_tpu.models import transformer
+from qwen3_tts_tpu.ops import quant as Q
+from qwen3_tts_tpu.ops.rope import inv_frequencies, mrope_cos_sin, section_ids
+from qwen3_tts_tpu.kernels.talker_step import talker_step_fused, supported
+
+PCAP = 512            # prompt region == one KV chunk
+CAP = 1024
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TalkerConfig(d_model=256, n_layers=2, n_heads=2, n_kv_heads=1,
+                       head_dim=128, d_ff=256,
+                       mrope_sections=(24, 20, 20, 0), dtype="bfloat16")
+    params = transformer.init_decoder_params(cfg, jax.random.PRNGKey(0))
+    params["layers"] = Q.quantize_decoder_layers(params["layers"])
+    return cfg, params
+
+
+def _cache_with_history(cfg, b, lengths, decoded, key):
+    """A cache whose prompt slots [0, lengths[i]) and decode slots
+    [PCAP, PCAP + decoded) hold random history; cursor at PCAP + decoded."""
+    cache = transformer.init_kv_cache(cfg, b, CAP, jnp.bfloat16)
+    k = jax.random.normal(key, cache.k.shape, jnp.float32) * 0.3
+    v = jax.random.normal(jax.random.fold_in(key, 1), cache.v.shape,
+                          jnp.float32) * 0.3
+    return cache.replace(
+        k=k.astype(jnp.bfloat16), v=v.astype(jnp.bfloat16),
+        lengths=jnp.asarray(lengths, jnp.int32),
+        write_idx=jnp.full((b,), PCAP + decoded, jnp.int32))
+
+
+def _rope(cfg, pos, b):
+    inv = jnp.asarray(inv_frequencies(cfg.head_dim, cfg.rope_theta))
+    sec = jnp.asarray(section_ids(cfg.mrope_sections))
+    p = jnp.full((b, 1), pos, jnp.int32)
+    pos4 = jnp.stack([p, p, p, jnp.zeros_like(p)], axis=-1)
+    return mrope_cos_sin(pos4, inv, sec)
+
+
+def test_supported_gate():
+    cfg = TalkerConfig()
+    assert supported(cfg, 1)
+    assert not supported(cfg, 16)
+    assert not supported(TalkerConfig.tiny(), 1)  # head_dim 16
+
+
+@pytest.mark.parametrize("decoded", [0, 3])
+def test_kernel_matches_xla_step(setup, decoded):
+    cfg, params = setup
+    b = 2
+    lengths = [200, 512]     # lane 1 fills the whole prompt chunk
+    cache = _cache_with_history(cfg, b, lengths, decoded,
+                                jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (b, 1, cfg.d_model),
+                          jnp.float32) * 0.3
+    pos = PCAP + decoded
+    cos, sin = _rope(cfg, pos, b)
+
+    # XLA reference path (flash off on CPU automatically)
+    hidden_ref, cache_ref = transformer.decoder_forward(
+        cfg, params, x.astype(jnp.bfloat16), cos, sin, cache,
+        prompt_cap=PCAP)
+
+    hidden1, k_new, v_new = talker_step_fused(
+        cfg, params, x[:, 0].astype(jnp.bfloat16), cos[:, 0], sin[:, 0],
+        cache.k, cache.v, cache.lengths, jnp.int32(pos), PCAP,
+        interpret=True)
+    from qwen3_tts_tpu.ops.norms import rms_norm
+    hidden = rms_norm(hidden1[:, None, :], params["final_norm"], cfg.rms_eps)
+
+    np.testing.assert_allclose(
+        np.asarray(hidden, np.float32), np.asarray(hidden_ref, np.float32),
+        rtol=0.05, atol=0.05)
+
+    # the written slot matches the XLA path's
+    np.testing.assert_allclose(
+        np.asarray(k_new[:, :, :, pos, :], np.float32),
+        np.asarray(cache_ref.k[:, :, :, pos, :], np.float32),
+        rtol=0.03, atol=0.03)
+    np.testing.assert_allclose(
+        np.asarray(v_new[:, :, :, pos, :], np.float32),
+        np.asarray(cache_ref.v[:, :, :, pos, :], np.float32),
+        rtol=0.03, atol=0.03)
+    # untouched slots are preserved bit-for-bit (aliased in-place update)
+    mask = np.ones(CAP, bool)
+    mask[pos] = False
+    np.testing.assert_array_equal(
+        np.asarray(k_new[:, :, :, mask, :]),
+        np.asarray(cache.k[:, :, :, mask, :]))
+
+
+def test_kernel_two_consecutive_steps(setup):
+    """Step t writes its k/v; step t+1 must attend to it (chained caches)."""
+    cfg, params = setup
+    b = 1
+    cache = _cache_with_history(cfg, b, [128], 0, jax.random.PRNGKey(5))
+    x = jax.random.normal(jax.random.PRNGKey(6), (b, 1, cfg.d_model),
+                          jnp.float32) * 0.3
+
+    # XLA path, two steps
+    c_ref = cache
+    h_ref = None
+    for t in range(2):
+        cos, sin = _rope(cfg, PCAP + t, b)
+        h_ref, c_ref = transformer.decoder_forward(
+            cfg, params, x.astype(jnp.bfloat16), cos, sin, c_ref,
+            prompt_cap=PCAP)
+
+    k, v = cache.k, cache.v
+    for t in range(2):
+        cos, sin = _rope(cfg, PCAP + t, b)
+        h1, k, v = talker_step_fused(
+            cfg, params, x[:, 0].astype(jnp.bfloat16), cos[:, 0], sin[:, 0],
+            k, v, cache.lengths, jnp.int32(PCAP + t), PCAP, interpret=True)
+    from qwen3_tts_tpu.ops.norms import rms_norm
+    h = rms_norm(h1[:, None, :], params["final_norm"], cfg.rms_eps)
+    np.testing.assert_allclose(np.asarray(h, np.float32),
+                               np.asarray(h_ref, np.float32),
+                               rtol=0.05, atol=0.05)
