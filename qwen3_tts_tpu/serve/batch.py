@@ -175,21 +175,35 @@ class BatchSynthesizer:
                 budgets=bj)
             codes_np = np.asarray(codes)
             valid_np = np.asarray(valid)
-            results = []
+            ks = [int(valid_np[i].sum()) for i in range(n_real)]
+            wavs: dict = {}
+            # lanes with equal frame counts decode in lockstep through ONE
+            # vmapped graph execution (decode_batch); stragglers go solo
+            groups: dict = {}
             for i in range(n_real):
-                k = int(valid_np[i].sum())
-                if k > 0:
-                    wav, _ = eng.onnx_decoder.decode(
-                        codes_np[i, :k], eng.onnx_decoder.create_state(),
+                groups.setdefault(ks[i], []).append(i)
+            for k, lanes in groups.items():
+                if k == 0:
+                    for i in lanes:
+                        wavs[i] = np.zeros(0, np.float32)
+                elif len(lanes) > 1:
+                    batch_codes = np.stack([codes_np[i, :k] for i in lanes])
+                    outs, _ = eng.onnx_decoder.decode_batch(
+                        batch_codes,
+                        [eng.onnx_decoder.create_state() for _ in lanes],
                         is_final=True)
-                    samples = np.asarray(wav, np.float32)
+                    for i, w in zip(lanes, outs):
+                        wavs[i] = np.asarray(w, np.float32)
                 else:
-                    samples = np.zeros(0, np.float32)
-                results.append(BatchResult(
-                    audio=AudioSample(samples=samples,
-                                      sample_rate=P_.SAMPLE_RATE, channels=1),
-                    frames=k, eos=k < int(budgets[i])))
-            return results
+                    w, _ = eng.onnx_decoder.decode(
+                        codes_np[lanes[0], :k],
+                        eng.onnx_decoder.create_state(), is_final=True)
+                    wavs[lanes[0]] = np.asarray(w, np.float32)
+            return [BatchResult(
+                audio=AudioSample(samples=wavs[i],
+                                  sample_rate=P_.SAMPLE_RATE, channels=1),
+                frames=ks[i], eos=ks[i] < int(budgets[i]))
+                for i in range(n_real)]
 
         from ..models.codec import decoder as codec_decoder
         dec_state = codec_decoder.init_decoder_state(
