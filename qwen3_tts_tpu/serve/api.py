@@ -178,19 +178,31 @@ def main(argv=None) -> int:
                          "single-stream per request)")
     ap.add_argument("--bucket", type=int, default=128,
                     help="prompt bucket for the batched scheduler")
+    ap.add_argument("--buckets", default=None,
+                    help="comma-separated prompt buckets, e.g. 64,128,256: "
+                         "routes each request to the smallest fitting "
+                         "bucket's scheduler (overrides --bucket)")
     ap.add_argument("--warmup", action="store_true",
                     help="precompile serving programs before listening")
     args = ap.parse_args(argv)
     from ..engine import TtsEngine
     engine = TtsEngine(model_dir=args.model_dir, quant=args.quant)
+    buckets = ([int(x) for x in args.buckets.split(",")]
+               if args.buckets else None)
     if args.warmup:
-        engine.warmup(buckets=(args.bucket or 128,),
+        engine.warmup(buckets=tuple(buckets) if buckets
+                      else (args.bucket or 128,),
                       batch_sizes=(max(args.batch, 1),))
     batcher = None
     if args.batch > 0:
-        from .online import OnlineBatcher
-        batcher = OnlineBatcher(engine, batch_size=args.batch,
-                                bucket=args.bucket).start()
+        if buckets:
+            from .online import OnlineRouter
+            batcher = OnlineRouter(engine, batch_size=args.batch,
+                                   buckets=buckets)
+        else:
+            from .online import OnlineBatcher
+            batcher = OnlineBatcher(engine, batch_size=args.batch,
+                                    bucket=args.bucket).start()
     server = TtsServer(engine, args.host, args.port, batcher=batcher)
     print(f"serving on {args.host}:{server.port}")
     server.start()

@@ -210,3 +210,66 @@ class OnlineBatcher:
                 break
             if not fut.cancelled():
                 fut.set_exception(RuntimeError("scheduler stopped"))
+
+
+class OnlineRouter:
+    """Multi-bucket continuous batching: one OnlineBatcher per prompt
+    bucket, each request routed to the smallest bucket that fits.
+
+    Closes the single-bucket constraint of OnlineBatcher (PARITY known
+    gap): short prompts never pay a long prompt's prefill padding or
+    attention window, and long prompts get a bigger bucket instead of a
+    failed future.  Batchers start lazily — a bucket that never sees
+    traffic never compiles its programs or allocates its KV state.
+
+    Memory note: each active bucket owns `batch_size` lanes of KV
+    (bucket + max_steps slots); size `buckets`/`batch_size` to the HBM
+    budget.  Prompts longer than max(buckets) still fail their own future
+    with PromptTooLongError — the router keeps serving.
+    """
+
+    def __init__(self, engine, batch_size: int = 4,
+                 buckets=(64, 128, 256), **batcher_kw):
+        self.engine = engine
+        self.buckets = tuple(sorted(int(x) for x in buckets))
+        self.batch_size = int(batch_size)
+        self._kw = batcher_kw
+        self._batchers: dict = {}
+        self._lock = threading.Lock()
+
+    def _batcher_for(self, bucket: int) -> OnlineBatcher:
+        with self._lock:
+            batcher = self._batchers.get(bucket)
+            if batcher is None:
+                batcher = OnlineBatcher(self.engine, self.batch_size,
+                                        bucket=bucket, **self._kw)
+                self._batchers[bucket] = batcher
+            return batcher
+
+    def submit(self, request: BatchRequest) -> "Future[BatchResult]":
+        try:
+            plan = self.engine._build_voice_prompt(
+                request.text, request.voice, request.instruct)
+            length = plan.length
+        except Exception as e:
+            fut: "Future[BatchResult]" = Future()
+            fut.set_exception(e)
+            return fut
+        for bucket in self.buckets:
+            if length <= bucket:
+                return self._batcher_for(bucket).submit(request)
+        from ..engine import PromptTooLongError
+        fut = Future()
+        fut.set_exception(PromptTooLongError(
+            f"prompt is {length} rows but the largest serving bucket is "
+            f"{self.buckets[-1]}; raise `buckets` or use stream_long"))
+        return fut
+
+    def synthesize(self, text: str, voice, instruct=None,
+                   max_frames=None) -> "Future[BatchResult]":
+        return self.submit(BatchRequest(text, voice, instruct,
+                                        max_frames=max_frames))
+
+    def stop(self, timeout: float = 30.0) -> None:
+        for batcher in list(self._batchers.values()):
+            batcher.stop(timeout=timeout)

@@ -105,3 +105,57 @@ def test_scheduler_crash_fails_inflight_futures(tiny_engine, monkeypatch):
         fut.result(timeout=60)
     ob.stop()
     assert not ob._thread.is_alive()
+
+
+# ---------------------------------------------------------------- router
+def test_router_routes_to_smallest_bucket(tiny_engine):
+    """Short prompts run in the small bucket; longer ones in the bigger;
+    too-long fails its own future with PromptTooLongError."""
+    from qwen3_tts_tpu.engine import PromptTooLongError
+    from qwen3_tts_tpu.serve.online import OnlineRouter
+
+    tiny_engine.set_max_steps(8)
+    tiny_engine.set_sampler_config(SamplerConfig(seed=9))
+    voice = tiny_engine.get_speaker("vivian")
+    router = OnlineRouter(tiny_engine, batch_size=2, buckets=(32, 64),
+                          max_frames_per_stream=3, idle_poll_s=0.01)
+    try:
+        short = router.submit(BatchRequest("hi", voice, max_frames=2))
+        long_text = "word " * 8                        # > 32 rows padded
+        longer = router.submit(BatchRequest(long_text, voice, max_frames=2))
+        r1 = short.result(timeout=300)
+        r2 = longer.result(timeout=300)
+        assert r1.frames <= 2 and r2.frames <= 2
+        assert np.isfinite(r1.audio.samples).all()
+        assert np.isfinite(r2.audio.samples).all()
+        # lazy per-bucket batchers: at least the small bucket exists, and
+        # no batcher was created for a bucket that saw no traffic
+        assert set(router._batchers) <= {32, 64}
+        assert len(router._batchers) >= 1
+
+        hopeless = router.submit(
+            BatchRequest("x " * 200, voice, max_frames=2))
+        with pytest.raises(PromptTooLongError):
+            hopeless.result(timeout=60)
+    finally:
+        router.stop()
+
+
+def test_router_concurrent_mixed_lengths(tiny_engine):
+    from qwen3_tts_tpu.serve.online import OnlineRouter
+
+    tiny_engine.set_max_steps(8)
+    tiny_engine.set_sampler_config(SamplerConfig(seed=10))
+    voice = tiny_engine.get_speaker("vivian")
+    router = OnlineRouter(tiny_engine, batch_size=2, buckets=(32, 64),
+                          max_frames_per_stream=3, idle_poll_s=0.01)
+    try:
+        futs = [router.submit(BatchRequest(
+            ("t " * (1 + 4 * (i % 4))).strip(), voice, max_frames=2))
+            for i in range(6)]
+        spf = tiny_engine.config.codec_decoder.samples_per_frame
+        for f in futs:
+            r = f.result(timeout=300)
+            assert len(r.audio.samples) == r.frames * spf
+    finally:
+        router.stop()
