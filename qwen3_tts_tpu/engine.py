@@ -532,6 +532,27 @@ class TtsEngine:
             jnp.asarray(lengths))
         return embeds, lengths
 
+    def _start_fused(self, plan: PromptPlan, bucket: int, key):
+        """Assemble + prefill in ONE device program (no intermediate
+        [B, bucket, 2048] embeds in HBM, one dispatch fewer per request
+        — tens of ms on remote-tunnel transports)."""
+        if plan.length > bucket:
+            raise PromptTooLongError(
+                f"prompt is {plan.length} rows but capacity is {bucket} "
+                f"(max_prompt_len={self.config.runtime.max_prompt_len}). "
+                "Shorten the text or reference audio, use generate_long/"
+                "stream_long for long text, or raise "
+                "RuntimeConfig.max_prompt_len.")
+        f_need = plan.frames.shape[0]
+        f_cap = 1 if f_need <= 1 else ((f_need + 63) // 64) * 64
+        p = plan.padded(bucket, f_cap)
+        lengths = np.asarray([plan.length], np.int32)
+        return self.generator.start_from_plans(
+            self.assets.text_table, self.assets.codec_tables,
+            p.text_idx[None], p.codec_idx[None], p.frame_slot[None],
+            p.spk_flag[None], p.frames[None], p.spk_emb[None],
+            lengths, key)
+
     def generate_long(self, text: str, voice: VoiceFile,
                       instruct: Optional[str] = None,
                       max_chars: int = 120) -> AudioSample:
@@ -741,8 +762,7 @@ class TtsEngine:
                       and plan.length <= self.config.runtime.max_prompt_len)
         if not use_prefix:
             bucket = self._bucket(plan.length)
-            embeds, lengths = self.prompt_to_device(plan, bucket)
-            return self.generator.start(embeds, lengths, key), bucket
+            return self._start_fused(plan, bucket, key), bucket
 
         p_cap = ((plan.prefix_len + 63) // 64) * 64
         suffix = plan.suffix_plan()
@@ -753,8 +773,7 @@ class TtsEngine:
             # _bucket clamped at max_prompt_len: the suffix pad rows would
             # spill past the prompt region into decode slots — fall back
             bucket = self._bucket(plan.length)
-            embeds, lengths = self.prompt_to_device(plan, bucket)
-            return self.generator.start(embeds, lengths, key), bucket
+            return self._start_fused(plan, bucket, key), bucket
         fp = (plan.prefix_fingerprint(), p_cap)
         entry = self._prefix_kv.get(fp)
         if entry is not None:

@@ -396,6 +396,32 @@ class Generator:
         return self._prefill(self.talker_params, embeds,
                              jnp.asarray(lengths, jnp.int32), key)
 
+    def start_from_plans(self, text_table, codec_tables, text_idx,
+                         codec_idx, frame_slot, spk_flag, frames, spk_emb,
+                         lengths, key) -> GenState:
+        """Fused prompt-assembly + prefill: ONE device program per request
+        instead of assemble-then-prefill (saves a dispatch round-trip and
+        never materializes the [B, bucket, 2048] prompt in HBM between
+        programs).  Args are the stacked padded plan arrays of
+        engine.prompt_to_device."""
+        if not hasattr(self, "_prefill_from_plans"):
+            from ..prompt import assemble as _assemble
+
+            def f(talker_params, text_table, codec_tables, ti, ci, fs, sf,
+                  fr, se, lengths, key):
+                embeds = jax.vmap(
+                    _assemble, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0))(
+                    text_table, codec_tables, ti, ci, fs, sf, fr, se,
+                    lengths)
+                return prefill(self.cfg, talker_params, embeds, lengths,
+                               key)
+
+            self._prefill_from_plans = jax.jit(f)
+        return self._prefill_from_plans(
+            self.talker_params, text_table, codec_tables, text_idx,
+            codec_idx, frame_slot, spk_flag, frames, spk_emb,
+            jnp.asarray(lengths, jnp.int32), key)
+
     def start_with_prefix(self, prefix_k, prefix_v, prefix_len,
                           suffix_embeds, suffix_lengths, key,
                           total_bucket: int) -> GenState:
