@@ -501,11 +501,9 @@ class TtsEngine:
             spk_emb=emb,
             lang_id=self.config.lang_id, instruct=instruct)
 
-    def prompt_to_device(self, plans, bucket: int = None):
-        """Assemble a list of PromptPlans to device embeddings.
-
-        Returns (embeds [B, bucket, 2048] on device, lengths [B] int32).
-        """
+    def _plans_to_arrays(self, plans, bucket: int = None):
+        """Stack padded plan arrays for a batch of PromptPlans.
+        Returns (dict of stacked arrays, lengths [B] int32, bucket)."""
         if isinstance(plans, PromptPlan):
             plans = [plans]
         max_len = max(p.length for p in plans)
@@ -521,37 +519,44 @@ class TtsEngine:
         f_cap = 1 if f_need <= 1 else ((f_need + 63) // 64) * 64
         padded = [p.padded(bucket, f_cap) for p in plans]
         lengths = np.asarray([p.length for p in plans], np.int32)
+        arrays = dict(
+            text_idx=np.stack([p.text_idx for p in padded]),
+            codec_idx=np.stack([p.codec_idx for p in padded]),
+            frame_slot=np.stack([p.frame_slot for p in padded]),
+            spk_flag=np.stack([p.spk_flag for p in padded]),
+            frames=np.stack([p.frames for p in padded]),
+            spk_emb=np.stack([p.spk_emb for p in padded]))
+        return arrays, lengths, bucket
+
+    def prompt_to_device(self, plans, bucket: int = None):
+        """Assemble a list of PromptPlans to device embeddings.
+
+        Returns (embeds [B, bucket, 2048] on device, lengths [B] int32).
+        """
+        a, lengths, bucket = self._plans_to_arrays(plans, bucket)
         embeds = self._assemble(
             self.assets.text_table, self.assets.codec_tables,
-            np.stack([p.text_idx for p in padded]),
-            np.stack([p.codec_idx for p in padded]),
-            np.stack([p.frame_slot for p in padded]),
-            np.stack([p.spk_flag for p in padded]),
-            np.stack([p.frames for p in padded]),
-            np.stack([p.spk_emb for p in padded]),
-            jnp.asarray(lengths))
+            a["text_idx"], a["codec_idx"], a["frame_slot"], a["spk_flag"],
+            a["frames"], a["spk_emb"], jnp.asarray(lengths))
         return embeds, lengths
+
+    def start_plans(self, plans, bucket: int = None, key=None):
+        """Fused assembly + prefill for one or many plans: ONE device
+        program per request/wave (no intermediate embeds in HBM).
+        Returns (GenState, lengths, bucket)."""
+        a, lengths, bucket = self._plans_to_arrays(plans, bucket)
+        state = self.generator.start_from_plans(
+            self.assets.text_table, self.assets.codec_tables,
+            a["text_idx"], a["codec_idx"], a["frame_slot"], a["spk_flag"],
+            a["frames"], a["spk_emb"], lengths, key)
+        return state, lengths, bucket
 
     def _start_fused(self, plan: PromptPlan, bucket: int, key):
         """Assemble + prefill in ONE device program (no intermediate
         [B, bucket, 2048] embeds in HBM, one dispatch fewer per request
         — tens of ms on remote-tunnel transports)."""
-        if plan.length > bucket:
-            raise PromptTooLongError(
-                f"prompt is {plan.length} rows but capacity is {bucket} "
-                f"(max_prompt_len={self.config.runtime.max_prompt_len}). "
-                "Shorten the text or reference audio, use generate_long/"
-                "stream_long for long text, or raise "
-                "RuntimeConfig.max_prompt_len.")
-        f_need = plan.frames.shape[0]
-        f_cap = 1 if f_need <= 1 else ((f_need + 63) // 64) * 64
-        p = plan.padded(bucket, f_cap)
-        lengths = np.asarray([plan.length], np.int32)
-        return self.generator.start_from_plans(
-            self.assets.text_table, self.assets.codec_tables,
-            p.text_idx[None], p.codec_idx[None], p.frame_slot[None],
-            p.spk_flag[None], p.frames[None], p.spk_emb[None],
-            lengths, key)
+        state, _, _ = self.start_plans(plan, bucket, key)
+        return state
 
     def generate_long(self, text: str, voice: VoiceFile,
                       instruct: Optional[str] = None,

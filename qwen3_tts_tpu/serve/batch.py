@@ -88,16 +88,19 @@ class BatchSynthesizer:
         # pad lanes repeat the first plan
         plans = plans + [plans[0]] * (b - n_real)
         bucket = eng._bucket(max(p.length for p in plans))
-        embeds_j, lens = eng.prompt_to_device(plans, bucket)
-        if self.mesh is not None and self.mesh.size > 1:
-            embeds_j = jax.device_put(embeds_j,
-                                      mesh_lib.batch_sharding(self.mesh))
-
         seed = eng.sampler_config.seed
         if seed is None:
             seed = time.time_ns() & 0x7FFFFFFFFFFFFFFF
-        state = eng.generator.start(embeds_j, jnp.asarray(lens),
-                                    jax.random.PRNGKey(seed))
+        if self.mesh is not None and self.mesh.size > 1:
+            embeds_j, lens = eng.prompt_to_device(plans, bucket)
+            embeds_j = jax.device_put(embeds_j,
+                                      mesh_lib.batch_sharding(self.mesh))
+            state = eng.generator.start(embeds_j, jnp.asarray(lens),
+                                        jax.random.PRNGKey(seed))
+        else:
+            # fused assembly + prefill: one program per wave
+            state, lens, bucket = eng.start_plans(
+                plans, bucket, jax.random.PRNGKey(seed))
         sampler = SamplerParams.make(eng.sampler_config)
         budgets = np.asarray(
             [(wave[i].max_frames if i < n_real and wave[i].max_frames
