@@ -779,14 +779,21 @@ class TtsEngine:
             # spill past the prompt region into decode slots — fall back
             bucket = self._bucket(plan.length)
             return self._start_fused(plan, bucket, key), bucket
+        def start_suffix(entry):
+            """Fused suffix assembly + continued prefill: one program."""
+            a, lens_s, _ = self._plans_to_arrays(suffix, s_cap)
+            return self.generator.start_with_prefix_from_plans(
+                entry[0], entry[1], plan.prefix_len,
+                self.assets.text_table, self.assets.codec_tables,
+                a["text_idx"], a["codec_idx"], a["frame_slot"],
+                a["spk_flag"], a["frames"], a["spk_emb"], lens_s, key,
+                total_bucket=bucket)
+
         fp = (plan.prefix_fingerprint(), p_cap)
         entry = self._prefix_kv.get(fp)
         if entry is not None:
             self._prefix_kv.move_to_end(fp)
-            embeds_s, lens_s = self.prompt_to_device(suffix, s_cap)
-            return self.generator.start_with_prefix(
-                entry[0], entry[1], plan.prefix_len, embeds_s,
-                jnp.asarray(lens_s), key, total_bucket=bucket), bucket
+            return start_suffix(entry), bucket
 
         embeds, lengths = self.prompt_to_device(plan, bucket)
         state = self.generator.start(embeds, lengths, key)
@@ -801,11 +808,7 @@ class TtsEngine:
         # differ in the last ulps — enough to flip sampled codes.  Routing
         # every request through the same path keeps a voice's synthesis
         # reproducible from the first request on.
-        embeds_s, lens_s = self.prompt_to_device(suffix, s_cap)
-        entry = self._prefix_kv[fp]
-        return self.generator.start_with_prefix(
-            entry[0], entry[1], plan.prefix_len, embeds_s,
-            jnp.asarray(lens_s), key, total_bucket=bucket), bucket
+        return start_suffix(self._prefix_kv[fp]), bucket
 
     def _warn_dev_mode(self) -> None:
         """Loudly flag components running on random weights: a production

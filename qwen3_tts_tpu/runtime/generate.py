@@ -438,6 +438,36 @@ class Generator:
             jnp.asarray(suffix_lengths, jnp.int32), key,
             total_bucket=total_bucket)
 
+    def start_with_prefix_from_plans(self, prefix_k, prefix_v, prefix_len,
+                                     text_table, codec_tables, text_idx,
+                                     codec_idx, frame_slot, spk_flag,
+                                     frames, spk_emb, suffix_lengths, key,
+                                     total_bucket: int) -> GenState:
+        """Fused suffix assembly + continued prefill (see
+        prefill_with_prefix): one device program for a prefix-cache start."""
+        if not hasattr(self, "_prefix_from_plans"):
+            from ..prompt import assemble as _assemble
+
+            def f(talker_params, prefix_k, prefix_v, prefix_len, text_table,
+                  codec_tables, ti, ci, fs, sf, fr, se, lengths, key,
+                  total_bucket):
+                embeds = jax.vmap(
+                    _assemble, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0))(
+                    text_table, codec_tables, ti, ci, fs, sf, fr, se,
+                    lengths)
+                return prefill_with_prefix(
+                    self.cfg, talker_params, prefix_k, prefix_v, prefix_len,
+                    embeds, lengths, key, total_bucket)
+
+            self._prefix_from_plans = jax.jit(
+                f, static_argnames=("total_bucket",))
+        return self._prefix_from_plans(
+            self.talker_params, prefix_k, prefix_v,
+            jnp.asarray(prefix_len, jnp.int32), text_table, codec_tables,
+            text_idx, codec_idx, frame_slot, spk_flag, frames, spk_emb,
+            jnp.asarray(suffix_lengths, jnp.int32), key,
+            total_bucket=total_bucket)
+
     def refill_lane(self, state: GenState, embeds_1: jnp.ndarray, length,
                     lane) -> GenState:
         """Prefill lane `lane` with a new [S_max, 2048] prompt."""
