@@ -90,7 +90,7 @@ def main() -> None:
         t_prefill = time.perf_counter() - t0
         dec_state = codec_decoder.init_decoder_state(
             cfg.codec_decoder, dec_params, batch=1)
-        state, dec_state, codes, valid, wav, _ = generator.run_bulk(
+        state, dec_state, codes, valid, wav, _, _ = generator.run_bulk(
             state, dec_state, sampler, prompt_cap=PROMPT_CAP,
             max_frames=FRAMES)
         hard_sync(wav)
@@ -137,7 +137,7 @@ def main() -> None:
             state, dec_state, sampler, prompt_cap=PROMPT_CAP, n_frames=2)
         hard_sync(wav)
         ttft_b = time.perf_counter() - t0
-        state, dec_state, codes, valid, wav, _ = generator.run_bulk(
+        state, dec_state, codes, valid, wav, _, _ = generator.run_bulk(
             state, dec_state, sampler, prompt_cap=PROMPT_CAP,
             max_frames=SFRAMES - 2)
         hard_sync(wav)

@@ -607,10 +607,10 @@ class TtsEngine:
         max_frames = min(self.max_steps, cfg.runtime.max_steps)
 
         if self.onnx_decoder is not None:
-            state, codes, valid, _ = self.generator.run_bulk_codes(
+            state, codes, valid, _, saw_eos = self.generator.run_bulk_codes(
                 state, sampler, prompt_cap=bucket, max_frames=max_frames)
             n_valid = int(np.asarray(valid[0]).sum())
-            metrics.eos = n_valid < max_frames
+            metrics.eos = bool(np.asarray(saw_eos[0]))
             if n_valid == 0:
                 samples = np.zeros((0,), np.float32)
             else:
@@ -621,15 +621,18 @@ class TtsEngine:
         else:
             dec_state = codec_decoder.init_decoder_state(
                 cfg.codec_decoder, self.codec_decoder_params, batch=1)
-            state, dec_state, codes, valid, wav, _ = self.generator.run_bulk(
+            (state, dec_state, codes, valid, wav, _,
+             saw_eos) = self.generator.run_bulk(
                 state, dec_state, sampler, prompt_cap=bucket,
                 max_frames=max_frames)
             n_valid = int(np.asarray(valid[0]).sum())
-            metrics.eos = n_valid < max_frames
+            metrics.eos = bool(np.asarray(saw_eos[0]))
             samples = np.asarray(wav[0, : n_valid * spf], np.float32)
 
         metrics.total_ms = (time.perf_counter() - t_start) * 1000.0
-        metrics.ttft_ms = metrics.total_ms
+        # the bulk path has no first-chunk moment — TTFT is a streaming
+        # metric; reporting total_ms here would pollute the metrics stream
+        metrics.ttft_ms = None
         metrics.frames = n_valid
         metrics.audio_seconds = n_valid * spf / P.SAMPLE_RATE
         self.last_metrics = metrics

@@ -418,8 +418,12 @@ def prep_layer_weights(cfg, params) -> Dict[str, Any]:
 
 
 def supported(cfg, batch: int) -> bool:
-    """Decode-shaped single/few-stream batches with standard dims."""
+    """Decode-shaped single/few-stream batches with standard dims.  The
+    kernel unconditionally applies per-head RMS q/k-norm, so a config with
+    qk_norm=False must take the XLA path (the production talker always sets
+    it; this just hardens the gate)."""
     return (batch <= 4
+            and cfg.qk_norm
             and cfg.head_dim == 128
             and cfg.d_model % 128 == 0
             and cfg.n_heads % cfg.n_kv_heads == 0)

@@ -312,9 +312,13 @@ def _gen_bulk(cfg: EngineConfig, talker_params, predictor_params,
     hits EOS or its budget, and the loop exits when every lane is done.
 
     Returns (state, dec_state, codes [B, F, 16], valid [B, F],
-    wav [B, F*spf] or None, frames_done scalar) with F = max_frames rounded
-    up to a whole number of chunks; columns >= budgets[lane] are always
-    flagged invalid so the frame budget is exact.
+    wav [B, F*spf] or None, frames_done scalar, saw_eos [B] bool) with
+    F = max_frames rounded up to a whole number of chunks; columns >=
+    budgets[lane] are always flagged invalid so the frame budget is exact.
+    saw_eos[i] is True iff lane i actually sampled EOS (as opposed to
+    exhausting its frame budget) — the chunked host loop's `saw_eos`
+    equivalent, so BatchResult.eos agrees between the two paths even when
+    EOS lands exactly on the budget boundary.
     """
     from ..models.codec import decoder as codec_decoder
 
@@ -331,16 +335,22 @@ def _gen_bulk(cfg: EngineConfig, talker_params, predictor_params,
     valid_buf = jnp.zeros((b, f_cap), bool)
     wav_buf = (jnp.zeros((b, f_cap * spf), jnp.float32) if with_audio
                else jnp.zeros((b, 0), jnp.float32))
+    saw_eos0 = jnp.zeros((b,), bool)
 
     def cond(carry):
         ci, state, *_ = carry
         return (ci < n_chunks) & ~jnp.all(state.done)
 
     def body(carry):
-        ci, state, dec_state, codes_buf, valid_buf, wav_buf = carry
+        ci, state, dec_state, codes_buf, valid_buf, wav_buf, saw_eos = carry
+        prev_done = state.done
         state, codes, valid = gen_frames(
             cfg, talker_params, predictor_params, assets_pack, state,
             sampler, chunk, prompt_cap, uniform_cursor)
+        # gen_frames only flips `done` on a sampled EOS, so lanes newly done
+        # this chunk are exactly the lanes that hit EOS (budget-done lanes
+        # were already marked below in a previous iteration).
+        saw_eos = saw_eos | (state.done & ~prev_done)
         codes_buf = jax.lax.dynamic_update_slice(
             codes_buf, codes, (0, ci * chunk, 0))
         valid_buf = jax.lax.dynamic_update_slice(
@@ -353,16 +363,17 @@ def _gen_bulk(cfg: EngineConfig, talker_params, predictor_params,
         # a lane that exhausted its own budget is done (stops the loop as
         # soon as every lane is done — EOS or budget, whichever first)
         state = state.replace(done=state.done | ((ci + 1) * chunk >= budgets))
-        return ci + 1, state, dec_state, codes_buf, valid_buf, wav_buf
+        return ci + 1, state, dec_state, codes_buf, valid_buf, wav_buf, saw_eos
 
-    ci, state, dec_state, codes_buf, valid_buf, wav_buf = jax.lax.while_loop(
+    (ci, state, dec_state, codes_buf, valid_buf, wav_buf,
+     saw_eos) = jax.lax.while_loop(
         cond, body,
         (jnp.zeros((), jnp.int32), state, dec_state, codes_buf, valid_buf,
-         wav_buf))
+         wav_buf, saw_eos0))
     # exact per-lane frame budget: columns past a lane's budget never count
     valid_buf = valid_buf & (jnp.arange(f_cap)[None, :] < budgets[:, None])
     return (state, dec_state, codes_buf, valid_buf,
-            wav_buf if with_audio else None, ci * chunk)
+            wav_buf if with_audio else None, ci * chunk, saw_eos)
 
 
 class Generator:
@@ -494,7 +505,9 @@ class Generator:
         """One-dispatch whole-request generation (see _gen_bulk).  With
         codec_params fused codec decode is included; otherwise pass
         dec_state=0 and wav comes back None (ONNX-codec path).  budgets:
-        optional [B] per-lane frame budgets (default max_frames)."""
+        optional [B] per-lane frame budgets (default max_frames).
+        Returns (state, dec_state, codes, valid, wav, frames_done,
+        saw_eos)."""
         n = n_frames or self.cfg.runtime.frames_per_chunk
         if budgets is None:
             budgets = jnp.int32(max_frames)
@@ -517,7 +530,7 @@ class Generator:
                        prompt_cap: int, max_frames: int, n_frames: int = None,
                        budgets=None, uniform_cursor: bool = True):
         """Codes-only bulk generation (the codec runs separately — ONNX
-        path).  Returns (state, codes, valid, frames_done)."""
+        path).  Returns (state, codes, valid, frames_done, saw_eos)."""
         n = n_frames or self.cfg.runtime.frames_per_chunk
         if budgets is None:
             budgets = jnp.int32(max_frames)
@@ -528,13 +541,13 @@ class Generator:
                 static_argnames=("max_frames", "chunk", "prompt_cap",
                                  "uniform_cursor"),
                 donate_argnames=donate)
-        state, _, codes, valid, _, done = self._gen_bulk_codes(
+        state, _, codes, valid, _, done, saw_eos = self._gen_bulk_codes(
             self.talker_params, self.predictor_params, self.assets_pack,
             state=state, dec_state=jnp.zeros(()), sampler=sampler,
             budgets=jnp.asarray(budgets, jnp.int32),
             max_frames=max_frames, chunk=n, prompt_cap=prompt_cap,
             uniform_cursor=uniform_cursor)
-        return state, codes, valid, done
+        return state, codes, valid, done, saw_eos
 
     def chunk_with_audio(self, state: GenState, dec_state,
                          sampler: SamplerParams, prompt_cap: int,

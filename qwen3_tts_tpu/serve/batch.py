@@ -39,6 +39,8 @@ class BatchRequest:
     voice: VoiceFile
     instruct: Optional[str] = None
     max_frames: Optional[int] = None   # per-request frame budget (None = engine default)
+    plan: object = None                # pre-built PromptPlan (router fills it so
+    #                                    the batcher doesn't rebuild the prompt)
 
 
 @dataclass
@@ -83,7 +85,8 @@ class BatchSynthesizer:
         b = self.batch_size
         n_chunk = cfg.runtime.frames_per_chunk
 
-        plans = [eng._build_voice_prompt(r.text, r.voice, r.instruct)
+        plans = [r.plan if r.plan is not None
+                 else eng._build_voice_prompt(r.text, r.voice, r.instruct)
                  for r in wave]
         # pad lanes repeat the first plan
         plans = plans + [plans[0]] * (b - n_real)
@@ -106,6 +109,12 @@ class BatchSynthesizer:
             [(wave[i].max_frames if i < n_real and wave[i].max_frames
               else eng.max_steps) for i in range(n_real)]
             + [eng.max_steps] * (b - n_real), np.int64)
+        # Clamp to the engine/runtime cap: an over-budget request must not
+        # push the bulk program's static max_frames past the KV capacity the
+        # warmup compiled for (the chunked loop below bounds at max_steps
+        # anyway; this keeps the bulk path identical).
+        budgets = np.minimum(budgets,
+                             min(eng.max_steps, cfg.runtime.max_steps))
 
         import os
         if os.environ.get("QTTS_BULK", "1") != "0":
@@ -173,9 +182,10 @@ class BatchSynthesizer:
         bj = jnp.asarray(budgets, jnp.int32)
 
         if eng.onnx_decoder is not None:
-            state, codes, valid, _ = eng.generator.run_bulk_codes(
+            state, codes, valid, _, saw_eos = eng.generator.run_bulk_codes(
                 state, sampler, prompt_cap=bucket, max_frames=max_frames,
                 budgets=bj)
+            eos_np = np.asarray(saw_eos)
             codes_np = np.asarray(codes)
             valid_np = np.asarray(valid)
             ks = [int(valid_np[i].sum()) for i in range(n_real)]
@@ -205,23 +215,25 @@ class BatchSynthesizer:
             return [BatchResult(
                 audio=AudioSample(samples=wavs[i],
                                   sample_rate=P_.SAMPLE_RATE, channels=1),
-                frames=ks[i], eos=ks[i] < int(budgets[i]))
+                frames=ks[i], eos=bool(eos_np[i]))
                 for i in range(n_real)]
 
         from ..models.codec import decoder as codec_decoder
         dec_state = codec_decoder.init_decoder_state(
             cfg.codec_decoder, eng.codec_decoder_params,
             batch=self.batch_size)
-        state, dec_state, codes, valid, wav, _ = eng.generator.run_bulk(
-            state, dec_state, sampler, prompt_cap=bucket,
-            max_frames=max_frames, budgets=bj)
+        state, dec_state, codes, valid, wav, _, saw_eos = (
+            eng.generator.run_bulk(
+                state, dec_state, sampler, prompt_cap=bucket,
+                max_frames=max_frames, budgets=bj))
         wav_np = np.asarray(wav)
         valid_np = np.asarray(valid)
+        eos_np = np.asarray(saw_eos)
         results = []
         for i in range(n_real):
             k = int(valid_np[i].sum())
             results.append(BatchResult(
                 audio=AudioSample(samples=wav_np[i, : k * spf].astype(
                     np.float32), sample_rate=P_.SAMPLE_RATE, channels=1),
-                frames=k, eos=k < int(budgets[i])))
+                frames=k, eos=bool(eos_np[i])))
         return results

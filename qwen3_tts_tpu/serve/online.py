@@ -110,12 +110,23 @@ class OnlineBatcher:
                 if fut.cancelled():
                     continue
                 try:
-                    plan = eng._build_voice_prompt(req.text, req.voice,
-                                                   req.instruct)
+                    plan = (req.plan if req.plan is not None else
+                            eng._build_voice_prompt(req.text, req.voice,
+                                                    req.instruct))
                     if state is None:
-                        # Cold start: build the state with this first request.
-                        embeds, lens = eng.prompt_to_device(
-                            [plan] * b, self.bucket)
+                        # Cold start: prefill this first request into its
+                        # lane; the other lanes get a 1-row zero prompt (not
+                        # copies of the request — no host-side plan
+                        # replication, and a single valid zero row keeps the
+                        # attention softmax away from the all-masked NaN
+                        # case).
+                        embeds1, lens1 = eng.prompt_to_device(
+                            [plan], self.bucket)
+                        embeds = jnp.zeros(
+                            (b,) + embeds1.shape[1:], embeds1.dtype
+                        ).at[lane].set(embeds1[0])
+                        lens = np.ones(b, np.int32)
+                        lens[lane] = int(lens1[0])
                         seed = eng.sampler_config.seed
                         if seed is None:
                             seed = time.time_ns() & 0x7FFFFFFFFFFFFFFF
@@ -251,6 +262,9 @@ class OnlineRouter:
             plan = self.engine._build_voice_prompt(
                 request.text, request.voice, request.instruct)
             length = plan.length
+            # Hand the built plan to the batcher so prompt/tokenizer work
+            # runs once, on this thread, not again inside the worker loop.
+            request.plan = plan
         except Exception as e:
             fut: "Future[BatchResult]" = Future()
             fut.set_exception(e)

@@ -68,7 +68,7 @@ def test_bulk_matches_host_loop(setup):
     # bulk
     state_b = _start(cfg, tp)
     dec_b = codec_decoder.init_decoder_state(cfg.codec_decoder, dp, batch=2)
-    state_b, dec_b, codes_b, valid_b, wav_b, done = gen._gen_bulk(
+    state_b, dec_b, codes_b, valid_b, wav_b, done, _ = gen._gen_bulk(
         cfg, tp, pp, pack, dp, state_b, dec_b, sampler,
         max_frames=max_frames, chunk=chunk, prompt_cap=8)
 
@@ -88,7 +88,7 @@ def test_bulk_budget_not_divisible_by_chunk(setup):
     max_frames = chunk + 1
     state = _start(cfg, tp, b=1)
     dec = codec_decoder.init_decoder_state(cfg.codec_decoder, dp, batch=1)
-    state, dec, codes, valid, wav, done = gen._gen_bulk(
+    state, dec, codes, valid, wav, done, saw_eos = gen._gen_bulk(
         cfg, tp, pp, pack, dp, state, dec, _sampler(),
         max_frames=max_frames, chunk=chunk, prompt_cap=8)
     v = np.asarray(valid)
@@ -110,12 +110,46 @@ def test_bulk_early_exit_on_eos(setup, monkeypatch):
     chunk = cfg.runtime.frames_per_chunk
     state = _start(cfg, tp)
     dec = codec_decoder.init_decoder_state(cfg.codec_decoder, dp, batch=2)
-    state, dec, codes, valid, wav, done = gen._gen_bulk(
+    state, dec, codes, valid, wav, done, saw_eos = gen._gen_bulk(
         cfg, tp, pp, pack, dp, state, dec, _sampler(),
         max_frames=4 * chunk, chunk=chunk, prompt_cap=8)
     assert int(done) == chunk
     assert not np.asarray(valid).any()
     assert np.asarray(state.done).all()
+    assert np.asarray(saw_eos).all()    # done via EOS, not budget
+
+
+def test_bulk_saw_eos_at_exact_budget(setup, monkeypatch):
+    """EOS sampled on the frame right after a lane's last budgeted frame:
+    frames == budget AND the lane truly hit EOS — saw_eos must be True
+    (the old `frames < budget` inference reported False here)."""
+    cfg, tp, pp, pack, dp = setup
+    chunk = cfg.runtime.frames_per_chunk
+    budget = 3
+
+    # gen_frames threads the PRNG deterministically: frame i samples with
+    # the i-th split of the initial key, so we can rig the sampler to fire
+    # EOS at exactly frame `budget` by matching the key value.
+    key = jax.random.PRNGKey(2)          # _start's prefill key
+    for _ in range(budget):
+        key, sub = jax.random.split(key)
+    _, eos_key = jax.random.split(key)   # frame index `budget`'s key
+
+    monkeypatch.setattr(gen, "sample_logits",
+                        lambda logits, k, t, tk, tp_:
+                        jnp.where(jnp.all(jax.random.key_data(k) ==
+                                          jax.random.key_data(eos_key)),
+                                  jnp.int32(P.EOS), jnp.int32(0))
+                        * jnp.ones((logits.shape[0],), jnp.int32))
+    state = _start(cfg, tp, b=1)
+    dec = codec_decoder.init_decoder_state(cfg.codec_decoder, dp, batch=1)
+    state, dec, codes, valid, wav, done, saw_eos = gen._gen_bulk(
+        cfg, tp, pp, pack, dp, state, dec, _sampler(),
+        jnp.asarray([budget], jnp.int32),
+        max_frames=2 * chunk, chunk=chunk, prompt_cap=8)
+    v = np.asarray(valid)
+    assert v[0].sum() == budget          # exactly the budget produced audio
+    assert bool(np.asarray(saw_eos)[0])  # and the lane really hit EOS
 
 
 def test_bulk_codes_only_matches_fused(setup):
@@ -124,11 +158,11 @@ def test_bulk_codes_only_matches_fused(setup):
     chunk = cfg.runtime.frames_per_chunk
     s1 = _start(cfg, tp)
     dec = codec_decoder.init_decoder_state(cfg.codec_decoder, dp, batch=2)
-    _, _, codes_f, valid_f, wav, _ = gen._gen_bulk(
+    _, _, codes_f, valid_f, wav, _, _ = gen._gen_bulk(
         cfg, tp, pp, pack, dp, s1, dec, _sampler(),
         max_frames=8, chunk=chunk, prompt_cap=8)
     s2 = _start(cfg, tp)
-    _, _, codes_c, valid_c, wav_c, _ = gen._gen_bulk(
+    _, _, codes_c, valid_c, wav_c, _, _ = gen._gen_bulk(
         cfg, tp, pp, pack, None, s2, jnp.zeros(()), _sampler(),
         max_frames=8, chunk=chunk, prompt_cap=8)
     assert wav_c is None
@@ -144,15 +178,17 @@ def test_bulk_per_lane_budgets(setup):
     state = _start(cfg, tp, b=2)
     dec = codec_decoder.init_decoder_state(cfg.codec_decoder, dp, batch=2)
     budgets = jnp.asarray([3, 9], jnp.int32)
-    state, dec, codes, valid, wav, done = gen._gen_bulk(
+    state, dec, codes, valid, wav, done, saw_eos = gen._gen_bulk(
         cfg, tp, pp, pack, dp, state, dec, _sampler(), budgets,
         max_frames=12, chunk=chunk, prompt_cap=8)
     v = np.asarray(valid)
     assert v[0].sum() <= 3 and not v[0, 3:].any()
     assert v[1].sum() <= 9 and not v[1, 9:].any()
-    # with no EOS sampled, exactly the budget is valid
+    # with no EOS sampled, exactly the budget is valid and saw_eos is False
+    # (done came from the budget, not EOS)
     if v[0].sum() == 3 and v[1].sum() == 9:
         assert int(done) == 12  # 3 chunks: lane 1 needs frames through 9
+        assert not np.asarray(saw_eos).any()
     assert np.asarray(state.done).all()
 
 
