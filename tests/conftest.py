@@ -20,6 +20,24 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# CPU-fast CI tier (`pytest -m quick`): the core-correctness subset a
+# reviewer can run in a couple of minutes on one core.  Everything else
+# (Pallas interpret-mode kernels, 8-virtual-device sharding, production-size
+# codec shapes, native build) stays in the full tier.
+_QUICK_FILES = {
+    "test_prompt.py", "test_runtime.py", "test_codec.py", "test_ops.py",
+    "test_gguf.py", "test_prefix_cache.py", "test_engine_e2e.py",
+    "test_onnx_codec.py", "test_continuous.py", "test_bulk.py",
+    "test_io.py", "test_api.py", "test_tokenizer_real.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.fspath.basename in _QUICK_FILES
+                and item.get_closest_marker("slow") is None):
+            item.add_marker(pytest.mark.quick)
+
 
 @pytest.fixture(scope="session")
 def tiny_cfg():
