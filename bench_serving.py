@@ -16,12 +16,73 @@ import json
 import time
 
 
+def bench_onnx_codec(batches, frames: int) -> None:
+    """ONNX-codec serving path (the path real checkpoints use on day one):
+    lockstep vmapped decode_batch over a full-scale contract-faithful
+    synthetic graph (tests/fixtures_onnx.FULL).  Reports per-chunk codec
+    time — both the shape-specializing first pass (the carried state grows
+    per chunk, so every chunk is a fresh XLA shape) and the replayed warm
+    pass (persistent-cache behavior a served stream actually sees)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    import numpy as np
+    from fixtures_onnx import FULL, build_decoder
+
+    from qwen3_tts_tpu.io.onnx_exec import OnnxExecutor
+    from qwen3_tts_tpu.io.onnx_lite import read_onnx_graph
+    from qwen3_tts_tpu.models.codec.onnx_decoder import OnnxStreamingDecoder
+
+    data, _ = build_decoder(FULL, seed=0)
+    dec = OnnxStreamingDecoder(OnnxExecutor(read_onnx_graph(data)))
+    rng = np.random.default_rng(0)
+    n_chunks = max(2, frames // 4)
+    for b in batches:
+        codes = rng.integers(0, 2048, size=(b, n_chunks * 4, FULL.NB))
+
+        def run():
+            states = [dec.create_state() for _ in range(b)]
+            times = []
+            for i in range(n_chunks):
+                t0 = time.perf_counter()
+                wavs, states = dec.decode_batch(
+                    codes[:, i * 4:(i + 1) * 4], states,
+                    is_final=(i == n_chunks - 1))
+                np.asarray(wavs[0])
+                times.append(time.perf_counter() - t0)
+            return times
+
+        cold = run()
+        warm = run()
+        audio_chunk_s = 4 * FULL.spf / 24000.0
+        print(json.dumps({
+            "metric": "onnx_codec_serving", "batch": b,
+            "first_pass_ms_per_chunk": round(
+                1e3 * sum(cold) / len(cold), 1),
+            "warm_ms_per_chunk": round(1e3 * sum(warm) / len(warm), 2),
+            "warm_codec_rtf_per_stream": round(
+                (sum(warm) / len(warm)) / audio_chunk_s, 4),
+        }), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,4,8,16,32")
     ap.add_argument("--frames", type=int, default=64)
     ap.add_argument("--prompt-cap", type=int, default=128)
+    ap.add_argument("--onnx-codec", action="store_true",
+                    help="bench the lockstep ONNX-codec decode path on a "
+                         "full-scale synthetic graph instead of the LM loop")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (sitecustomize pins TPU)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.onnx_codec:
+        bench_onnx_codec([int(x) for x in args.batches.split(",")],
+                         args.frames)
+        return
 
     import jax
     import jax.numpy as jnp

@@ -97,6 +97,131 @@ def _kernel(lengths_ref, start_ref, q_ref, k_hbm, v_hbm,
     o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _kernel_stacked(lengths_ref, start_ref, layer_ref, q_ref, k_hbm, v_hbm,
+                    o_ref, k_scratch, v_scratch, sem_k, sem_v,
+                    *, prompt_cap: int, capacity: int, scale: float):
+    """Same as _kernel but reads layer `layer_ref[0]` of a stacked
+    [L, B, Hkv, C, Dh] cache, so the caller never materializes a per-layer
+    slice (one full-capacity copy per layer per step in the XLA path)."""
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    g, dh = q_ref.shape[2], q_ref.shape[3]
+    layer = layer_ref[0]
+
+    length = lengths_ref[b]
+    start = start_ref[b]
+    valid_end = start + 1
+    n_chunks = pl.cdiv(valid_end, CHUNK)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale     # [G, Dh]
+
+    def get_dma(slot, chunk_idx, sref, hbm, sem):
+        return pltpu.make_async_copy(
+            hbm.at[layer, b, h, pl.ds(chunk_idx * CHUNK, CHUNK), :],
+            sref.at[slot],
+            sem.at[slot],
+        )
+
+    get_dma(0, 0, k_scratch, k_hbm, sem_k).start()
+    get_dma(0, 0, v_scratch, v_hbm, sem_v).start()
+
+    def body(ci, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(ci, 2)
+        next_slot = jax.lax.rem(ci + 1, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            get_dma(next_slot, ci + 1, k_scratch, k_hbm, sem_k).start()
+            get_dma(next_slot, ci + 1, v_scratch, v_hbm, sem_v).start()
+
+        get_dma(slot, ci, k_scratch, k_hbm, sem_k).wait()
+        get_dma(slot, ci, v_scratch, v_hbm, sem_v).wait()
+
+        k = k_scratch[slot].astype(jnp.float32)       # [CHUNK, Dh]
+        v = v_scratch[slot].astype(jnp.float32)
+
+        c_idx = ci * CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, (1, CHUNK), 1)                 # [1, CHUNK]
+        valid = (c_idx < length) | ((c_idx >= prompt_cap) & (c_idx <= start))
+        valid = valid & (c_idx < capacity)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [G, CHUNK]
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [G, Dh]
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((g, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((g, 1), jnp.float32)
+    acc0 = jnp.zeros((g, dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_gqa_decode_stacked(q: jnp.ndarray, k_all: jnp.ndarray,
+                             v_all: jnp.ndarray, lengths: jnp.ndarray,
+                             write_idx: jnp.ndarray, layer: jnp.ndarray,
+                             prompt_cap: int,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Single-token GQA decode attention against a STACKED cache.
+
+    q: [B, H, Dh]; k_all/v_all: [L, B, Hkv, C, Dh] (C must be a CHUNK
+    multiple — runtime.generate's capacity formula guarantees it);
+    layer: scalar int32 layer index; write_idx: [B] or scalar slot of the
+    current token (already written).  Returns [B, H, Dh].  Designed for the
+    carry-KV decode loop (models/transformer._decode_step_carry): the cache
+    never leaves HBM and never gets sliced per layer by XLA.
+    """
+    b, hq, dh = q.shape
+    write_idx = jnp.broadcast_to(jnp.asarray(write_idx, jnp.int32), (b,))
+    hkv, cap = k_all.shape[2], k_all.shape[3]
+    if cap % CHUNK != 0:
+        raise ValueError(f"stacked flash decode needs capacity % {CHUNK} "
+                         f"== 0, got {cap}")
+    g = hq // hkv
+    q4 = q.reshape(b, hkv, g, dh)
+
+    grid = (b, hkv)
+    out = pl.pallas_call(
+        functools.partial(_kernel_stacked, prompt_cap=prompt_cap,
+                          capacity=cap, scale=dh ** -0.5),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, g, dh), lambda i, j, *_: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, g, dh),
+                                   lambda i, j, *_: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, CHUNK, dh), k_all.dtype),
+                pltpu.VMEM((2, CHUNK, dh), v_all.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, dh), q.dtype),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), write_idx,
+      jnp.reshape(layer, (1,)).astype(jnp.int32),
+      q4, k_all, v_all)
+    return out.reshape(b, hq, dh)
+
+
 def use_flash_decode() -> bool:
     """Trace-time gate: Pallas TPU kernels only run on TPU backends."""
     import os

@@ -124,6 +124,16 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     # whose last dim is narrower (tiny test configs use dh=16).
     use_flash = (s == 1 and getattr(cfg, "flash_decode", True)
                  and cfg.head_dim % 128 == 0 and use_flash_decode())
+
+    # Carry-KV decode: the stacked cache rides the layer scan's CARRY and is
+    # updated with one-slot writes, instead of flowing through scan xs/ys
+    # (which materializes full-capacity copies of k and v every layer, every
+    # step — at batch 32 several GB of HBM traffic per frame, the measured
+    # reason per-stream RTF scaled ~linearly with batch).  Numerics are
+    # identical to the xs/ys path (same ops in the same order).
+    if s == 1 and _os.environ.get("QTTS_CARRY_KV", "1") != "0":
+        return _decode_step_carry(cfg, params, x, cos, sin, cache,
+                                  prompt_cap, write_at, use_flash)
     mask = (None if use_flash else
             history_mask(cache.lengths, prompt_cap, start, s, cache.capacity))
 
@@ -163,6 +173,94 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     hidden = rms_norm(x, params["final_norm"], cfg.rms_eps)
     new_cache = cache.replace(k=new_k, v=new_v,
                               write_idx=start + jnp.int32(s))
+    return hidden, new_cache
+
+
+def _decode_step_carry(cfg, params: Dict[str, Any], x: jnp.ndarray,
+                       cos: jnp.ndarray, sin: jnp.ndarray, cache: KVCache,
+                       prompt_cap: int, write_at,
+                       use_flash: bool) -> Tuple[jnp.ndarray, KVCache]:
+    """Single-token decode with the stacked KV cache as a scan CARRY.
+
+    The xs/ys layer scan of `decoder_forward` makes XLA materialize a fresh
+    full-capacity copy of k and v per layer per step (the ys stack), which
+    is pure HBM traffic that scales with batch x capacity; at batch 32 it
+    dominates the frame (~GB/frame).  Here the [L, B, Hkv, C, Dh] arrays
+    thread through the loop carry — XLA aliases while-loop carries in
+    place — and each layer does a ONE-SLOT dynamic_update_slice append.
+    Attention reads the live prefix through the stacked-cache flash kernel
+    (kernels/flash_decode.flash_gqa_decode_stacked) so the per-layer cache
+    slice is never materialized either; off TPU it falls back to a per-layer
+    dynamic slice + masked XLA attention (correctness path for tests).
+    """
+    b, s, d = x.shape
+    h, hkv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    L = cfg.n_layers
+    start = cache.write_idx
+    write_vec = jnp.broadcast_to(jnp.asarray(write_at, jnp.int32), (b,))
+    scalar_cursor = jnp.ndim(write_at) == 0
+
+    from ..kernels.flash_decode import CHUNK as _FLASH_CHUNK
+    from ..kernels.flash_decode import flash_gqa_decode_stacked
+    flash_ok = use_flash and cache.capacity % _FLASH_CHUNK == 0
+    mask = (None if flash_ok else
+            history_mask(cache.lengths, prompt_cap, start, s,
+                         cache.capacity))
+
+    def layer_fn(carry, inputs):
+        xx, k_all, v_all = carry
+        l, p = inputs
+        hn = rms_norm(xx, p["ln1"], cfg.rms_eps)
+        qkv = _mm(hn, p["wqkv"])
+        q = qkv[..., : h * dh].reshape(b, s, h, dh)
+        kk = qkv[..., h * dh: (h + hkv) * dh].reshape(b, s, hkv, dh)
+        vv = qkv[..., (h + hkv) * dh:].reshape(b, s, hkv, dh)
+        if cfg.qk_norm:
+            q = rms_norm(q, p["q_norm"], cfg.rms_eps)
+            kk = rms_norm(kk, p["k_norm"], cfg.rms_eps)
+        q = _rope(q, cos, sin)
+        kk = _rope(kk, cos, sin)
+
+        # one-slot append into the carried stacked cache (in place)
+        k_new = jnp.swapaxes(kk, 1, 2).astype(k_all.dtype)  # [B, Hkv, 1, Dh]
+        v_new = jnp.swapaxes(vv, 1, 2).astype(v_all.dtype)
+        if scalar_cursor:
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k_new[None], (l, 0, 0, write_at, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v_new[None], (l, 0, 0, write_at, 0))
+        else:
+            bi = jnp.arange(b)
+            k_all = k_all.at[l, bi, :, write_vec, :].set(k_new[:, :, 0])
+            v_all = v_all.at[l, bi, :, write_vec, :].set(v_new[:, :, 0])
+
+        if flash_ok:
+            attn = flash_gqa_decode_stacked(
+                q[:, 0], k_all, v_all, cache.lengths, write_vec, l,
+                prompt_cap)[:, None]
+            attn = attn.reshape(b, s, h * dh)
+        else:
+            k_layer = jax.lax.dynamic_index_in_dim(k_all, l, 0,
+                                                   keepdims=False)
+            v_layer = jax.lax.dynamic_index_in_dim(v_all, l, 0,
+                                                   keepdims=False)
+            attn = gqa_attend(q, k_layer, v_layer, mask).reshape(b, s,
+                                                                 h * dh)
+        xx = xx + _mm(attn, p["wo"])
+        hn = rms_norm(xx, p["ln2"], cfg.rms_eps)
+        gu = _mm(hn, p["w_gate_up"])
+        f_half = gu.shape[-1] // 2
+        ff = jax.nn.silu(gu[..., :f_half]) * gu[..., f_half:]
+        xx = xx + _mm(ff, p["w_down"])
+        return (xx, k_all, v_all), None
+
+    (x, new_k, new_v), _ = jax.lax.scan(
+        layer_fn, (x, cache.k, cache.v),
+        (jnp.arange(L, dtype=jnp.int32), params["layers"]),
+        unroll=getattr(cfg, "layer_scan_unroll", 1))
+    hidden = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    new_cache = cache.replace(k=new_k, v=new_v,
+                              write_idx=cache.write_idx + jnp.int32(s))
     return hidden, new_cache
 
 
