@@ -73,10 +73,32 @@ def _rms(x, w, eps):
                                + eps)) * w.astype(jnp.float32)
 
 
-def _qmm(x_bf16, w_int8, scale_row):
-    """Same rounding structure as ops.quant.matmul."""
+def _qmm(x_bf16, w, scale_row, w8a8: bool = False):
+    """Weight matmul in one of three modes.
+
+    int8 (legacy): cast the whole VMEM-resident int8 matrix to bf16 and
+    dot — numerically identical to ops.quant.matmul, but the full-matrix
+    cast unrolls into a Mosaic program whose compile time scales with
+    weight bytes (~21 min for the 28-layer talker — what kept this kernel
+    opt-in).  bf16: pre-dequantized weights, direct dot (compiles in ~2 min
+    but doubles the HBM stream).  w8a8: quantize the ACTIVATION row to
+    int8 (a [B, in] cast — trivial) and run the int8 x int8 dot on the MXU
+    with int32 accumulation; int8 streaming AND a small compiled program.
+    Same math class as the reference's llama.cpp Q8_0 path, which also
+    quantizes activations to int8 (ggml vec_dot_q8)."""
+    if w8a8 and w.dtype == jnp.int8:
+        xf = x_bf16.astype(jnp.float32)
+        ax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)      # [B, 1]
+        sx = jnp.maximum(ax, 1e-8) * (1.0 / 127.0)
+        xq = jnp.round(xf / sx).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        return (y * sx * scale_row.astype(jnp.float32)
+                ).astype(jnp.bfloat16)
+    wb = w if w.dtype == jnp.bfloat16 else w.astype(jnp.bfloat16)
     y = jax.lax.dot_general(
-        x_bf16, w_int8.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        x_bf16, wb, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     return y * scale_row.astype(jnp.bfloat16)
 
@@ -90,7 +112,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
             x_sc, k_sc, v_sc, q3_sc, kn3_sc, vn3_sc, ctx_sc,
             wqkv_buf, wo_buf, gu_buf, dn_buf,
             kv_sems, wsems,
-            *, cfg_static):
+            *, cfg_static, w8a8=False):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
     l = pl.program_id(0)
     rep = H // HKV
@@ -115,7 +137,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
     # ---- qkv
     wdma(0, l).wait()
     hn = _rms(x, ln1_ref[l], EPS).astype(jnp.bfloat16)
-    qkv = _qmm(hn, wqkv_buf[...], wqkv_s[l])
+    qkv = _qmm(hn, wqkv_buf[...], wqkv_s[l], w8a8)
 
     @pl.when(l + 1 < L)
     def _():
@@ -249,7 +271,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
     ctx = ctx_sc[...]
 
     wdma(1, l).wait()
-    x = x + _qmm(ctx.astype(jnp.bfloat16), wo_buf[...], wo_s[l])
+    x = x + _qmm(ctx.astype(jnp.bfloat16), wo_buf[...], wo_s[l], w8a8)
 
     @pl.when(l + 1 < L)
     def _():
@@ -258,7 +280,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
     # ---- SwiGLU MLP
     wdma(2, l).wait()
     hn2 = _rms(x, ln2_ref[l], EPS).astype(jnp.bfloat16)
-    gup = _qmm(hn2, gu_buf[...], gu_s[l])
+    gup = _qmm(hn2, gu_buf[...], gu_s[l], w8a8)
 
     @pl.when(l + 1 < L)
     def _():
@@ -268,7 +290,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
     gf = gup[:, :f_half].astype(jnp.float32)
     ff = (gf * jax.nn.sigmoid(gf)).astype(jnp.bfloat16) * gup[:, f_half:]
     wdma(3, l).wait()
-    x = x + _qmm(ff, dn_buf[...], dn_s[l])
+    x = x + _qmm(ff, dn_buf[...], dn_s[l], w8a8)
 
     @pl.when(l + 1 < L)
     def _():
@@ -282,9 +304,9 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg_static", "interpret"))
+                   static_argnames=("cfg_static", "interpret", "w8a8"))
 def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
-          cfg_static, interpret=False):
+          cfg_static, interpret=False, w8a8=False):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
     rep = H // HKV
     dq = H * DH
@@ -302,8 +324,10 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
     fixed = lambda shape, space=pltpu.VMEM: pl.BlockSpec(
         shape, lambda l, *_: (0,) * len(shape), memory_space=space)
     hbm = pl.BlockSpec(memory_space=pl.ANY)
+    wdt = layer_w["wqkv_q"].dtype        # int8 or bf16 (pre-dequantized)
+    vmem_limit = (110 if wdt == jnp.int8 else 126) * 1024 * 1024
 
-    kernel = functools.partial(_kernel, cfg_static=cfg_static)
+    kernel = functools.partial(_kernel, cfg_static=cfg_static, w8a8=w8a8)
     out, k_tok, v_tok = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -341,10 +365,10 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
                 pltpu.VMEM((HKV, BP, DH), jnp.bfloat16),  # k new
                 pltpu.VMEM((HKV, BP, DH), jnp.bfloat16),  # v new
                 pltpu.VMEM((BP, dq), jnp.float32),        # ctx unpack
-                pltpu.VMEM((D, qkv_out), jnp.int8),
-                pltpu.VMEM((dq, D), jnp.int8),
-                pltpu.VMEM((D, d_ff2), jnp.int8),
-                pltpu.VMEM((d_ff, D), jnp.int8),
+                pltpu.VMEM((D, qkv_out), wdt),
+                pltpu.VMEM((dq, D), wdt),
+                pltpu.VMEM((D, d_ff2), wdt),
+                pltpu.VMEM((d_ff, D), wdt),
                 pltpu.SemaphoreType.DMA((2, B, 2)),       # kv chunk dma
                 pltpu.SemaphoreType.DMA((4,)),            # weight streams
             ],
@@ -355,7 +379,7 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
             jax.ShapeDtypeStruct((L, HKV, BP, DH), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(lengths.astype(jnp.int32), jnp.reshape(start, (1,)).astype(jnp.int32),
       x0, cos, sin,
@@ -385,19 +409,29 @@ def _seg_matrix(n_heads, dh):
     return seg
 
 
-def prep_layer_weights(cfg, params) -> Dict[str, Any]:
-    """Kernel-ready form of the stacked talker layers (int8 + f32 scales,
-    tiled per-head norms).  No head permutation: attention runs per-kv-head
-    with q heads addressed directly by lane block."""
+def prep_layer_weights(cfg, params, weights: str = "int8") -> Dict[str, Any]:
+    """Kernel-ready form of the stacked talker layers (tiled per-head
+    norms).  weights="int8": int8 + f32 scale rows, cast to bf16 in VMEM
+    per layer (halves the HBM stream; the cast dominates Mosaic compile
+    time).  weights="bf16": dequantized bf16 with scales folded in (2x
+    stream, much smaller compiled program — the scan-compatible mode).
+    No head permutation: attention runs per-kv-head with q heads addressed
+    directly by lane block."""
     from ..ops.quant import is_quantized, quantize_weight
     lw = params["layers"]
     H, HKV = cfg.n_heads, cfg.n_kv_heads
 
     def qs(w):
         if is_quantized(w):
-            return w["q"], w["s"]
-        q = quantize_weight(w, axis=-2)
-        return q["q"], q["s"]
+            q, s = w["q"], w["s"]
+        else:
+            qt = quantize_weight(w, axis=-2)
+            q, s = qt["q"], qt["s"]
+        if weights == "bf16":
+            deq = (q.astype(jnp.float32) * s[:, None, :].astype(jnp.float32)
+                   ).astype(jnp.bfloat16)
+            return deq, jnp.ones_like(s)
+        return q, s          # "int8" and "w8a8" both stream int8
 
     wqkv_q, wqkv_s = qs(lw["wqkv"])
     wo_q, wo_s = qs(lw["wo"])
@@ -431,7 +465,7 @@ def supported(cfg, batch: int) -> bool:
 
 def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
                       lengths, write_idx, prompt_cap: int,
-                      interpret: bool = False
+                      interpret: bool = False, weights: str = "int8",
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step over all layers.
 
@@ -457,8 +491,8 @@ def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
         x = jnp.pad(x, pad)
         cos_t = jnp.pad(cos_t, pad)
         sin_t = jnp.pad(sin_t, pad)
-    layer_w = prep_layer_weights(cfg, params)
+    layer_w = prep_layer_weights(cfg, params, weights=weights)
     return _call(x, cos_t.astype(jnp.float32),
                  sin_t.astype(jnp.float32), layer_w, cache_k, cache_v,
                  lengths, write_idx, cfg_static=cfg_static,
-                 interpret=interpret)
+                 interpret=interpret, w8a8=(weights == "w8a8"))

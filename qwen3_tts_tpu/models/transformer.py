@@ -134,8 +134,14 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     if s == 1 and _os.environ.get("QTTS_CARRY_KV", "1") != "0":
         return _decode_step_carry(cfg, params, x, cos, sin, cache,
                                   prompt_cap, write_at, use_flash)
+    # Prefill (s > 1) only ever has live keys in slots [0, prompt_cap):
+    # score against that static window instead of the full capacity
+    # (bucket + max_steps slots) — a 3-8x cut of prefill attention
+    # FLOPs/softmax width, straight off batched TTFT.  Masked-away slots
+    # are zero/invalid either way, so numerics are unchanged.
+    attn_win = min(prompt_cap, cache.capacity) if s > 1 else cache.capacity
     mask = (None if use_flash else
-            history_mask(cache.lengths, prompt_cap, start, s, cache.capacity))
+            history_mask(cache.lengths, prompt_cap, start, s, attn_win))
 
     def layer_fn(carry, layer):
         xx = carry
@@ -158,7 +164,9 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
                                     start, prompt_cap)[:, None]
             attn = attn.reshape(b, s, h * dh)
         else:
-            attn = gqa_attend(q, k_cache, v_cache, mask).reshape(b, s, h * dh)
+            attn = gqa_attend(q, k_cache[:, :, :attn_win],
+                              v_cache[:, :, :attn_win],
+                              mask).reshape(b, s, h * dh)
         xx = xx + _mm(attn, p["wo"])
         hn = rms_norm(xx, p["ln2"], cfg.rms_eps)
         gu = _mm(hn, p["w_gate_up"])

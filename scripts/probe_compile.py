@@ -33,6 +33,11 @@ def log(msg: str) -> None:
 
 def main() -> None:
     stage = sys.argv[1]
+    wmode = "int8"
+    for suffix in ("bf16", "w8a8"):
+        if stage.endswith("_" + suffix):
+            wmode = suffix
+            stage = stage[: -len(suffix) - 1]
     os.environ.setdefault("QTTS_FUSED_TALKER", "1")
 
     import jax
@@ -62,7 +67,7 @@ def main() -> None:
     need = PCAP + cfg.runtime.max_steps + cfg.runtime.frames_per_chunk
     CAP = ((need + 511) // 512) * 512
 
-    log(f"stage={stage} backend={jax.default_backend()} "
+    log(f"stage={stage} weights={wmode} backend={jax.default_backend()} "
         f"B={B} PCAP={PCAP} CAP={CAP}")
 
     key = jax.random.PRNGKey(0)
@@ -92,26 +97,28 @@ def main() -> None:
             h, kc, vc = ts.talker_step_fused(
                 tcfg, tp, x.astype(jnp.bfloat16),
                 rope_at(PCAP)[0][:, 0], rope_at(PCAP)[1][:, 0],
-                cache.k, cache.v, cache.lengths, jnp.int32(PCAP), PCAP)
+                cache.k, cache.v, cache.lengths, jnp.int32(PCAP), PCAP,
+                weights=wmode)
             hard_sync(h)
             log(f"kern compile+run: {time.time()-t0:.1f}s")
             t0 = time.time()
             h, kc, vc = ts.talker_step_fused(
                 tcfg, tp, x.astype(jnp.bfloat16),
                 rope_at(PCAP)[0][:, 0], rope_at(PCAP)[1][:, 0],
-                kc, vc, cache.lengths, jnp.int32(PCAP + 1), PCAP)
+                kc, vc, cache.lengths, jnp.int32(PCAP + 1), PCAP,
+                weights=wmode)
             hard_sync(h)
             log(f"kern warm run: {time.time()-t0:.3f}s")
             return
 
         # scan4: minimal scan wrapper — the step's own output feeds back in
-        layer_w = ts.prep_layer_weights(tcfg, tp)
+        layer_w = ts.prep_layer_weights(tcfg, tp, weights=wmode)
         cfg_static = (tcfg.n_layers, B, B + (B % 2), tcfg.n_heads,
                       tcfg.n_kv_heads, tcfg.head_dim, tcfg.d_model,
                       tcfg.rms_eps, CAP, PCAP)
 
         @jax.jit
-        def scan4(x0, k_cache, v_cache, lengths):
+        def scan4(layer_w, x0, k_cache, v_cache, lengths):
             def body(carry, i):
                 xx, kc, vc, pos = carry
                 cos, sin = rope_at(pos)
@@ -136,12 +143,13 @@ def main() -> None:
                 body, (x0, k_cache, v_cache, jnp.int32(PCAP)), None, length=4)
             return xx, kc, vc, ys
 
+        layer_w = jax.device_put(layer_w)
         t0 = time.time()
-        xx, kc, vc, ys = scan4(x, cache.k, cache.v, cache.lengths)
+        xx, kc, vc, ys = scan4(layer_w, x, cache.k, cache.v, cache.lengths)
         hard_sync(ys)
         log(f"scan4 compile+run: {time.time()-t0:.1f}s")
         t0 = time.time()
-        xx, kc, vc, ys = scan4(x, cache.k, cache.v, cache.lengths)
+        xx, kc, vc, ys = scan4(layer_w, x, cache.k, cache.v, cache.lengths)
         hard_sync(ys)
         log(f"scan4 warm run: {time.time()-t0:.3f}s")
         return

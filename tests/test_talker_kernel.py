@@ -131,3 +131,31 @@ def test_kernel_two_consecutive_steps(setup):
     np.testing.assert_allclose(np.asarray(h, np.float32),
                                np.asarray(h_ref, np.float32),
                                rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("mode,tol", [("bf16", 0.06), ("w8a8", 0.12)])
+def test_kernel_weight_modes_match_xla(setup, mode, tol):
+    """bf16 (pre-dequantized) and w8a8 (int8 activation x int8 weight MXU
+    dots) modes track the XLA path within their quantization budgets.
+    w8a8's per-row activation quant is the same math class as the
+    reference's llama.cpp Q8_0 (ggml quantizes activations to int8 too)."""
+    cfg, params = setup
+    b = 2
+    cache = _cache_with_history(cfg, b, [200, 512], 0, jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (b, 1, cfg.d_model),
+                          jnp.float32) * 0.3
+    cos, sin = _rope(cfg, PCAP, b)
+    hidden_ref, _ = transformer.decoder_forward(
+        cfg, params, x.astype(jnp.bfloat16), cos, sin, cache,
+        prompt_cap=PCAP)
+
+    hidden1, _, _ = talker_step_fused(
+        cfg, params, x[:, 0].astype(jnp.bfloat16), cos[:, 0], sin[:, 0],
+        cache.k, cache.v, cache.lengths, jnp.int32(PCAP), PCAP,
+        interpret=True, weights=mode)
+    from qwen3_tts_tpu.ops.norms import rms_norm
+    hidden = rms_norm(hidden1[:, None, :], params["final_norm"], cfg.rms_eps)
+    ref = np.asarray(hidden_ref, np.float32)
+    got = np.asarray(hidden, np.float32)
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
+    assert err < tol, f"{mode}: rel err {err}"
