@@ -103,7 +103,7 @@ def main() -> None:
         dec_state = codec_decoder.init_decoder_state(
             cfg.codec_decoder, dec_params, batch=1)
         state, dec_state, codes, valid, wav = generator.chunk_with_audio(
-            state, dec_state, sampler, prompt_cap=PROMPT_CAP, n_frames=2)
+            state, dec_state, sampler, prompt_cap=PROMPT_CAP, n_frames=1)
         hard_sync(wav)
         return time.perf_counter() - t0
 
@@ -134,18 +134,18 @@ def main() -> None:
         dec_state = codec_decoder.init_decoder_state(
             cfg.codec_decoder, dec_params, batch=b)
         state, dec_state, codes, valid, wav = generator.chunk_with_audio(
-            state, dec_state, sampler, prompt_cap=PROMPT_CAP, n_frames=2)
+            state, dec_state, sampler, prompt_cap=PROMPT_CAP, n_frames=1)
         hard_sync(wav)
         ttft_b = time.perf_counter() - t0
         state, dec_state, codes, valid, wav, _, _ = generator.run_bulk(
             state, dec_state, sampler, prompt_cap=PROMPT_CAP,
-            max_frames=SFRAMES - 2)
+            max_frames=SFRAMES - 1)
         hard_sync(wav)
         return time.perf_counter() - t0, ttft_b
 
     batch_rtf = {}
     batch_ttft_ms = {}
-    for b in (8, 16, 32):
+    for b in (8, 16, 32, 48):
         run_batch(b)                                   # compile/warm
         t_b, ttft_b = min(run_batch(b) for _ in range(2))
         batch_rtf[str(b)] = round(t_b / audio_batch_s, 4)

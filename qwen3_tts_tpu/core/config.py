@@ -208,8 +208,11 @@ class RuntimeConfig:
     max_steps: int = 512                 # frames; ~42 s of audio at 12 fps
     frames_per_chunk: int = P.FRAMES_PER_CHUNK
     # Streaming emits a smaller first chunk to cut TTFT (~83 ms of audio per
-    # frame); 0 disables the fast first chunk.
-    first_chunk_frames: int = 2
+    # frame); 0 disables the fast first chunk.  One frame: at batch 32 the
+    # 2-frame first chunk was the ~10 ms that kept p50 TTFT above the
+    # 150 ms target; chunk boundaries are bit-invariant (ring codec), so
+    # the only cost is one extra early host dispatch.
+    first_chunk_frames: int = 1
     # Static prefill capacity (padded).  Matches the reference talker's
     # n_ctx=4096 (engine.rs:133): a ~30 s clone reference (~360 frame rows)
     # plus instruction + task text fits without truncation.

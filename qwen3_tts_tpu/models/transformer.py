@@ -105,16 +105,24 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     # prefix of the cache from HBM (see kernels/flash_decode.py).
     from ..kernels.flash_decode import use_flash_decode
 
-    # Whole-step Pallas megakernel (all layers, streamed int8 weights, fused
+    # Whole-step Pallas megakernel (all layers, streamed weights, fused
     # flash attention): one launch instead of 28 (kernels/talker_step.py).
+    # QTTS_FUSED_TALKER selects the weight mode: "1"/"int8" = int8 weights
+    # cast in VMEM (exact ops.quant numerics; ~21 min Mosaic compile —
+    # crashes the remote-compile service when scan-wrapped), "w8a8" = int8
+    # activations x int8 weights on the MXU (Q8_0-class numerics, compiles
+    # ~2x faster), "bf16" = pre-dequantized (small program, 2x stream).
     import os as _os
+    _fused = _os.environ.get("QTTS_FUSED_TALKER", "0")
     if (s == 1 and uniform_cursor and use_flash_decode()
-            and _os.environ.get("QTTS_FUSED_TALKER") == "1"):
+            and _fused not in ("", "0")):
         from ..kernels import talker_step as _ts
         if _ts.supported(cfg, b):
+            _mode = _fused if _fused in ("bf16", "w8a8") else "int8"
             hidden1, k_new, v_new = _ts.talker_step_fused(
                 cfg, params, x[:, 0], cos[:, 0], sin[:, 0],
-                cache.k, cache.v, cache.lengths, write_at, prompt_cap)
+                cache.k, cache.v, cache.lengths, write_at, prompt_cap,
+                weights=_mode)
             hidden = rms_norm(hidden1[:, None, :], params["final_norm"],
                               cfg.rms_eps)
             new_cache = cache.replace(k=k_new, v=v_new,

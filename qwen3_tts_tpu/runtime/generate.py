@@ -154,13 +154,18 @@ def _predict_frame_dispatch(cfg: EngineConfig, predictor_params, h1024,
     """Pick the predictor inner-loop implementation.
 
     Default on TPU (decode-shaped batches): the single-launch Pallas
-    megakernel (kernels/predictor_frame.py) with VMEM-resident weights —
-    measured 2.65 vs 4.12 ms/frame for the XLA path on v5e.  Semantics
-    match the XLA path exactly in interpret mode; on hardware Mosaic's
-    bf16 rounding can flip greedy argmax near-ties (immaterial for
-    synthesis: those codes are within the model's own quantization noise).
-    QTTS_FUSED_PREDICTOR=0 opts out (exact XLA-path numerics); big batches
-    and non-TPU backends always use the XLA path."""
+    megakernel (kernels/predictor_frame.py) with VMEM-resident weights.
+    Measured against the XLA path in isolation: 2.65 vs 4.12 ms/frame on
+    one axon host, 3.7 vs 3.8 on another (per-dispatch latency differs
+    1.5-28 ms between tunnel hosts, which dwarfs the kernel delta at these
+    sizes — inside the fused chunk/bulk programs the kernel is reliably
+    never slower, and the r2 driver bench ran bulk+fused-predictor
+    end-to-end at RTF 0.065).  Semantics match the XLA path exactly in
+    interpret mode; on hardware Mosaic's bf16 rounding can flip greedy
+    argmax near-ties (immaterial for synthesis: those codes are within the
+    model's own quantization noise).  QTTS_FUSED_PREDICTOR=0 opts out
+    (exact XLA-path numerics); big batches and non-TPU backends always use
+    the XLA path."""
     import os
     if os.environ.get("QTTS_FUSED_PREDICTOR", "1") != "0":
         from ..kernels.flash_decode import use_flash_decode

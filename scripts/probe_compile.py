@@ -38,7 +38,7 @@ def main() -> None:
         if stage.endswith("_" + suffix):
             wmode = suffix
             stage = stage[: -len(suffix) - 1]
-    os.environ.setdefault("QTTS_FUSED_TALKER", "1")
+    os.environ["QTTS_FUSED_TALKER"] = wmode if wmode != "int8" else "1"
 
     import jax
     import jax.numpy as jnp
@@ -78,7 +78,7 @@ def main() -> None:
         "final_norm": p["final_norm"],
         "codec_head": quant_ops.quantize_head(p["codec_head"])})(tp)
 
-    if stage in ("kern", "scan4"):
+    if stage in ("kern", "scan4", "scan64"):
         cache = transformer.init_kv_cache(tcfg, B, CAP, jnp.bfloat16)
         cache = cache.replace(
             lengths=jnp.full((B,), PCAP, jnp.int32),
@@ -140,18 +140,21 @@ def main() -> None:
                     lengths, pos, cfg_static=cfg_static)
                 return (h.astype(jnp.float32), kc, vc, pos + 1), h[0, 0]
             (xx, kc, vc, pos), ys = jax.lax.scan(
-                body, (x0, k_cache, v_cache, jnp.int32(PCAP)), None, length=4)
+                body, (x0, k_cache, v_cache, jnp.int32(PCAP)), None,
+                length=(64 if stage == "scan64" else 4))
             return xx, kc, vc, ys
 
         layer_w = jax.device_put(layer_w)
         t0 = time.time()
         xx, kc, vc, ys = scan4(layer_w, x, cache.k, cache.v, cache.lengths)
         hard_sync(ys)
-        log(f"scan4 compile+run: {time.time()-t0:.1f}s")
-        t0 = time.time()
-        xx, kc, vc, ys = scan4(layer_w, x, cache.k, cache.v, cache.lengths)
-        hard_sync(ys)
-        log(f"scan4 warm run: {time.time()-t0:.3f}s")
+        log(f"{stage} compile+run: {time.time()-t0:.1f}s")
+        for _ in range(3):
+            t0 = time.time()
+            xx, kc, vc, ys = scan4(layer_w, x, cache.k, cache.v,
+                                   cache.lengths)
+            hard_sync(ys)
+            log(f"{stage} warm run: {time.time()-t0:.3f}s")
         return
 
     # full-pipeline stages
