@@ -6,7 +6,7 @@ latency makes per-call timing useless) for several ablations:
   noattn    — same weights/matmuls, attention replaced by identity
   mmonly    — bare int8 matvec chain over the same weight bytes
 """
-import functools, time, sys
+import functools, os, time, sys
 import jax, jax.numpy as jnp
 
 from qwen3_tts_tpu.core.config import EngineConfig
@@ -15,9 +15,12 @@ from qwen3_tts_tpu.models import transformer as tf
 from qwen3_tts_tpu.ops import quant as qo
 from qwen3_tts_tpu.models.talker import talker_decode_step
 
+from qwen3_tts_tpu.engine import _enable_compilation_cache
+_enable_compilation_cache()
+
 cfg = EngineConfig().talker
 import sys
-N = 8
+N = int(os.environ.get("QTTS_ABLATE_N", "64"))
 WHICH = sys.argv[1] if len(sys.argv) > 1 else 'all'
 key = jax.random.PRNGKey(0)
 params = jax.jit(functools.partial(tl.init_talker_params, cfg))(key)
@@ -26,7 +29,7 @@ params = jax.jit(lambda p: {
     "final_norm": p["final_norm"],
     "codec_head": qo.quantize_head(p["codec_head"])})(params)
 
-B, CAP, PC = 1, 256, 128
+B, CAP, PC = 1, int(os.environ.get("QTTS_ABLATE_CAP", "1024")), 128
 cache = tf.init_kv_cache(cfg, B, CAP, jnp.bfloat16)
 cache = cache.replace(write_idx=jnp.full((B,), PC, jnp.int32),
                       lengths=jnp.full((B,), PC, jnp.int32))

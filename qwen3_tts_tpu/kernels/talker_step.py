@@ -103,6 +103,47 @@ def _qmm(x_bf16, w, scale_row, w8a8: bool = False):
     return y * scale_row.astype(jnp.bfloat16)
 
 
+INT4_GROUP = 128
+
+
+def _qmm4(x_bf16, w_ref, s_ref):
+    """w4a8 matmul: int8 activations x HALF-SPLIT packed int4 weights.
+
+    w_ref [K/2, N] int8 VMEM ref: byte row r holds K-row r in its low
+    nibble and K-row r + K/2 in its high nibble (prep_layer_weights
+    packs this way so both nibble dots read CONTIGUOUS activation
+    slices — no even/odd de-interleave in VMEM).  s_ref [1, K/G, N]
+    f32: grouped scales in K order, so byte-row block i (G rows) uses
+    scale row i for its lo nibbles and row K/(2G) + i for its hi
+    nibbles.  The unpack + dot runs per G-row block: Mosaic compiles
+    each small block program instead of unrolling a full-matrix cast
+    (the compile-ceiling lesson of the int8 mode), and the MXU still
+    sees int8 x int8 dots with int32 accumulation."""
+    G = INT4_GROUP
+    k2, n = w_ref.shape
+    nb = k2 // G
+    b = x_bf16.shape[0]
+    xf = x_bf16.astype(jnp.float32)
+    ax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)      # [B, 1]
+    sx = jnp.maximum(ax, 1e-8) * (1.0 / 127.0)
+    xq = jnp.round(xf / sx).astype(jnp.int8)
+    acc = jnp.zeros((b, n), jnp.float32)
+    for i in range(nb):
+        w32 = w_ref[i * G:(i + 1) * G, :].astype(jnp.int32)
+        lo = jnp.right_shift(jnp.left_shift(w32, 28), 28).astype(jnp.int8)
+        hi = jnp.right_shift(w32, 4).astype(jnp.int8)
+        xe = xq[:, i * G:(i + 1) * G]
+        xo = xq[:, k2 + i * G: k2 + (i + 1) * G]
+        d_lo = jax.lax.dot_general(
+            xe, lo, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        d_hi = jax.lax.dot_general(
+            xo, hi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        acc = acc + d_lo * s_ref[0, i] + d_hi * s_ref[0, nb + i]
+    return (acc * sx).astype(jnp.bfloat16)
+
+
 def _kernel(lengths_ref, start_ref,                      # scalar prefetch
             x0_ref, cos_ref, sin_ref,
             ln1_ref, ln2_ref, qn_ref, kn_ref, seg_q_ref, seg_k_ref,
@@ -112,8 +153,15 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
             x_sc, k_sc, v_sc, q3_sc, kn3_sc, vn3_sc, ctx_sc,
             wqkv_buf, wo_buf, gu_buf, dn_buf,
             kv_sems, wsems,
-            *, cfg_static, w8a8=False):
+            *, cfg_static, wmode="int8"):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
+    w8a8 = wmode == "w8a8"
+
+    def qmm(x, buf, s_ref, l):
+        if wmode == "w4a8":
+            return _qmm4(x, buf, s_ref)
+        return _qmm(x, buf[...], s_ref[l], w8a8)
+
     l = pl.program_id(0)
     rep = H // HKV
     dq = H * DH
@@ -137,7 +185,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
     # ---- qkv
     wdma(0, l).wait()
     hn = _rms(x, ln1_ref[l], EPS).astype(jnp.bfloat16)
-    qkv = _qmm(hn, wqkv_buf[...], wqkv_s[l], w8a8)
+    qkv = qmm(hn, wqkv_buf, wqkv_s, l)
 
     @pl.when(l + 1 < L)
     def _():
@@ -271,7 +319,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
     ctx = ctx_sc[...]
 
     wdma(1, l).wait()
-    x = x + _qmm(ctx.astype(jnp.bfloat16), wo_buf[...], wo_s[l], w8a8)
+    x = x + qmm(ctx.astype(jnp.bfloat16), wo_buf, wo_s, l)
 
     @pl.when(l + 1 < L)
     def _():
@@ -280,7 +328,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
     # ---- SwiGLU MLP
     wdma(2, l).wait()
     hn2 = _rms(x, ln2_ref[l], EPS).astype(jnp.bfloat16)
-    gup = _qmm(hn2, gu_buf[...], gu_s[l], w8a8)
+    gup = qmm(hn2, gu_buf, gu_s, l)
 
     @pl.when(l + 1 < L)
     def _():
@@ -290,7 +338,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
     gf = gup[:, :f_half].astype(jnp.float32)
     ff = (gf * jax.nn.sigmoid(gf)).astype(jnp.bfloat16) * gup[:, f_half:]
     wdma(3, l).wait()
-    x = x + _qmm(ff, dn_buf[...], dn_s[l], w8a8)
+    x = x + qmm(ff, dn_buf, dn_s, l)
 
     @pl.when(l + 1 < L)
     def _():
@@ -304,15 +352,19 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg_static", "interpret", "w8a8"))
+                   static_argnames=("cfg_static", "interpret", "wmode"))
 def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
-          cfg_static, interpret=False, w8a8=False):
+          cfg_static, interpret=False, wmode="int8"):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
     rep = H // HKV
     dq = H * DH
     dkv = HKV * DH
     d_ff2 = layer_w["gu_q"].shape[-1]
-    d_ff = layer_w["dn_q"].shape[-2]
+    # row counts come from the arrays: w4a8 packs two K-rows per byte row
+    rows_qkv = layer_w["wqkv_q"].shape[-2]
+    rows_wo = layer_w["wo_q"].shape[-2]
+    rows_gu = layer_w["gu_q"].shape[-2]
+    rows_dn = layer_w["dn_q"].shape[-2]
     qkv_out = layer_w["wqkv_q"].shape[-1]
     cap_pad = ((CAP + KV_CHUNK - 1) // KV_CHUNK) * KV_CHUNK
     k_in, v_in = k_cache, v_cache
@@ -326,8 +378,16 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     wdt = layer_w["wqkv_q"].dtype        # int8 or bf16 (pre-dequantized)
     vmem_limit = (110 if wdt == jnp.int8 else 126) * 1024 * 1024
+    if wmode == "w4a8":
+        # [L, K/G, N] grouped scales stream one layer's block per grid step
+        scale_spec = lambda arr: pl.BlockSpec(
+            (1,) + arr.shape[1:], lambda l, *_: (l, 0, 0),
+            memory_space=pltpu.VMEM)
+    else:
+        # [L, N] per-output-channel rows, whole array VMEM-resident
+        scale_spec = lambda arr: fixed(arr.shape)
 
-    kernel = functools.partial(_kernel, cfg_static=cfg_static, w8a8=w8a8)
+    kernel = functools.partial(_kernel, cfg_static=cfg_static, wmode=wmode)
     out, k_tok, v_tok = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -343,10 +403,10 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
                 fixed((L, dkv)),                          # k_norm tiled
                 fixed((dq, H)),                           # seg_q
                 fixed((dkv, HKV)),                        # seg_k
-                fixed((L, qkv_out)),                      # scales
-                fixed((L, D)),
-                fixed((L, d_ff2)),
-                fixed((L, D)),
+                scale_spec(layer_w["wqkv_s"]),            # scales
+                scale_spec(layer_w["wo_s"]),
+                scale_spec(layer_w["gu_s"]),
+                scale_spec(layer_w["dn_s"]),
                 hbm, hbm, hbm, hbm,                       # weights int8
                 hbm, hbm,                                 # k/v cache
             ],
@@ -365,10 +425,10 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
                 pltpu.VMEM((HKV, BP, DH), jnp.bfloat16),  # k new
                 pltpu.VMEM((HKV, BP, DH), jnp.bfloat16),  # v new
                 pltpu.VMEM((BP, dq), jnp.float32),        # ctx unpack
-                pltpu.VMEM((D, qkv_out), wdt),
-                pltpu.VMEM((dq, D), wdt),
-                pltpu.VMEM((D, d_ff2), wdt),
-                pltpu.VMEM((d_ff, D), wdt),
+                pltpu.VMEM((rows_qkv, qkv_out), wdt),
+                pltpu.VMEM((rows_wo, D), wdt),
+                pltpu.VMEM((rows_gu, d_ff2), wdt),
+                pltpu.VMEM((rows_dn, D), wdt),
                 pltpu.SemaphoreType.DMA((2, B, 2)),       # kv chunk dma
                 pltpu.SemaphoreType.DMA((4,)),            # weight streams
             ],
@@ -421,7 +481,36 @@ def prep_layer_weights(cfg, params, weights: str = "int8") -> Dict[str, Any]:
     lw = params["layers"]
     H, HKV = cfg.n_heads, cfg.n_kv_heads
 
+    def qs4(w):
+        """Grouped int4 with HALF-SPLIT packing for _qmm4: byte row r of
+        [L, K/2, N] carries K-row r (low nibble) and K-row r + K/2 (high
+        nibble); scales [L, K/G, N] stay in K order.  Engine weights
+        usually arrive already int8-quantized, so this is a requantization
+        (int8 -> int4 adds its own rounding on top — same double-quant
+        class as converting a Q8_0 GGUF to Q4; loading int4 directly from
+        a bf16 checkpoint avoids it)."""
+        G = INT4_GROUP
+        if is_quantized(w):
+            wf = (w["q"].astype(jnp.float32)
+                  * w["s"][:, None, :].astype(jnp.float32))
+        else:
+            wf = w.astype(jnp.float32)
+        Lr, K, N = wf.shape
+        assert K % (2 * G) == 0, (K, G)
+        wg = wf.reshape(Lr, K // G, G, N)
+        amax = jnp.max(jnp.abs(wg), axis=2, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / 7.0
+        q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8)
+        q = q.reshape(Lr, K, N)
+        loq = q[:, : K // 2]
+        hiq = q[:, K // 2:]
+        packed = jnp.bitwise_or(jnp.bitwise_and(loq, 0x0F),
+                                jnp.left_shift(hiq, 4)).astype(jnp.int8)
+        return packed, scale[:, :, 0, :].astype(jnp.float32)
+
     def qs(w):
+        if weights == "w4a8":
+            return qs4(w)
         if is_quantized(w):
             q, s = w["q"], w["s"]
         else:
@@ -451,16 +540,23 @@ def prep_layer_weights(cfg, params, weights: str = "int8") -> Dict[str, Any]:
     }
 
 
-def supported(cfg, batch: int) -> bool:
+def supported(cfg, batch: int, weights: str = "int8") -> bool:
     """Decode-shaped single/few-stream batches with standard dims.  The
     kernel unconditionally applies per-head RMS q/k-norm, so a config with
     qk_norm=False must take the XLA path (the production talker always sets
-    it; this just hardens the gate)."""
-    return (batch <= 4
-            and cfg.qk_norm
-            and cfg.head_dim == 128
-            and cfg.d_model % 128 == 0
-            and cfg.n_heads % cfg.n_kv_heads == 0)
+    it; this just hardens the gate).  w4a8 additionally needs every
+    contraction dim to split into whole 2*G-row nibble groups."""
+    ok = (batch <= 4
+          and cfg.qk_norm
+          and cfg.head_dim == 128
+          and cfg.d_model % 128 == 0
+          and cfg.n_heads % cfg.n_kv_heads == 0)
+    if ok and weights == "w4a8":
+        g2 = 2 * INT4_GROUP
+        dq = cfg.n_heads * cfg.head_dim
+        ok = (cfg.d_model % g2 == 0 and dq % g2 == 0
+              and cfg.d_ff % g2 == 0)
+    return ok
 
 
 def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
@@ -491,8 +587,15 @@ def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
         x = jnp.pad(x, pad)
         cos_t = jnp.pad(cos_t, pad)
         sin_t = jnp.pad(sin_t, pad)
-    layer_w = prep_layer_weights(cfg, params, weights=weights)
+    # Pre-packed kernel weights (Generator computes them ONCE at startup)
+    # ride in params["fused_<mode>"]; without them the prep runs inside the
+    # traced program — free for int8/w8a8 (pass-through), but bf16/w4a8
+    # would re-derive packed weights per call unless XLA hoists the
+    # loop-invariant chain, so callers in hot loops should pre-pack.
+    layer_w = params.get("fused_" + weights)
+    if layer_w is None:
+        layer_w = prep_layer_weights(cfg, params, weights=weights)
     return _call(x, cos_t.astype(jnp.float32),
                  sin_t.astype(jnp.float32), layer_w, cache_k, cache_v,
                  lengths, write_idx, cfg_static=cfg_static,
-                 interpret=interpret, w8a8=(weights == "w8a8"))
+                 interpret=interpret, wmode=weights)

@@ -393,6 +393,23 @@ class Generator:
         self.assets_pack = assets_pack
         self.codec_params = codec_params
 
+        # Fused-talker modes that transform weights (int4 repack / bf16
+        # dequant) pre-pack ONCE here; int8/w8a8 pass the int8 tensors
+        # through untouched so they need no copy.  The packed pytree rides
+        # inside talker_params under "fused_<mode>" where
+        # kernels.talker_step.talker_step_fused picks it up.
+        import os as _os
+        _mode = _os.environ.get("QTTS_FUSED_TALKER", "0")
+        _mode = _mode if _mode in ("bf16", "w8a8", "w4a8") else (
+            "int8" if _mode not in ("", "0") else None)
+        if _mode in ("bf16", "w4a8"):
+            from ..kernels import talker_step as _ts
+            if _ts.supported(cfg.talker, 1, _mode):
+                self.talker_params = dict(talker_params)
+                self.talker_params["fused_" + _mode] = jax.jit(
+                    functools.partial(_ts.prep_layer_weights, cfg.talker,
+                                      weights=_mode))(talker_params)
+
         self._prefill = jax.jit(
             functools.partial(prefill, cfg), static_argnames=())
         donate = ("state",) if cfg.runtime.donate_cache else ()

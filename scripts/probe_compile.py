@@ -34,11 +34,12 @@ def log(msg: str) -> None:
 def main() -> None:
     stage = sys.argv[1]
     wmode = "int8"
-    for suffix in ("bf16", "w8a8"):
+    for suffix in ("bf16", "w8a8", "off"):
         if stage.endswith("_" + suffix):
             wmode = suffix
             stage = stage[: -len(suffix) - 1]
-    os.environ["QTTS_FUSED_TALKER"] = wmode if wmode != "int8" else "1"
+    os.environ["QTTS_FUSED_TALKER"] = (
+        "0" if wmode == "off" else wmode if wmode != "int8" else "1")
 
     import jax
     import jax.numpy as jnp
@@ -137,7 +138,7 @@ def main() -> None:
                 h, kc, vc = ts._call(
                     xx_p, cos_t.astype(jnp.float32),
                     sin_t.astype(jnp.float32), layer_w, kc, vc,
-                    lengths, pos, cfg_static=cfg_static)
+                    lengths, pos, cfg_static=cfg_static, wmode=wmode)
                 return (h.astype(jnp.float32), kc, vc, pos + 1), h[0, 0]
             (xx, kc, vc, pos), ys = jax.lax.scan(
                 body, (x0, k_cache, v_cache, jnp.int32(PCAP)), None,

@@ -133,10 +133,12 @@ def test_kernel_two_consecutive_steps(setup):
                                rtol=0.05, atol=0.05)
 
 
-@pytest.mark.parametrize("mode,tol", [("bf16", 0.06), ("w8a8", 0.12)])
+@pytest.mark.parametrize("mode,tol", [("bf16", 0.06), ("w8a8", 0.12),
+                                      ("w4a8", 0.35)])
 def test_kernel_weight_modes_match_xla(setup, mode, tol):
-    """bf16 (pre-dequantized) and w8a8 (int8 activation x int8 weight MXU
-    dots) modes track the XLA path within their quantization budgets.
+    """bf16 (pre-dequantized), w8a8 (int8 activation x int8 weight MXU
+    dots) and w4a8 (half-split packed int4 weights, llama.cpp Q4-class)
+    modes track the XLA path within their quantization budgets.
     w8a8's per-row activation quant is the same math class as the
     reference's llama.cpp Q8_0 (ggml quantizes activations to int8 too)."""
     cfg, params = setup
