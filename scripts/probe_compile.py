@@ -34,7 +34,7 @@ def log(msg: str) -> None:
 def main() -> None:
     stage = sys.argv[1]
     wmode = "int8"
-    for suffix in ("bf16", "w8a8", "off"):
+    for suffix in ("bf16", "w8a8", "w4a8", "off"):
         if stage.endswith("_" + suffix):
             wmode = suffix
             stage = stage[: -len(suffix) - 1]
