@@ -172,8 +172,17 @@ def main() -> None:
     frame_s = (total - prefill) / FRAMES
     V5E_PEAK_BF16 = 197e12
     mfu = flops_frame / frame_s / V5E_PEAK_BF16
-    # int8 weight bytes streamed per frame (talker once, predictor 15x)
-    bytes_frame = (talker_p + head_rows) + 15 * pred_p + pred_head
+    # Weight bytes streamed per frame (talker once, predictor 15x).  The
+    # talker's per-param bytes depend on the fused-kernel weight mode
+    # (default w4a8 = packed int4 = 0.5 B/param; int8 paths = 1 B).
+    from qwen3_tts_tpu.kernels import talker_step as _ts
+    mode = _ts.fused_mode()
+    if mode is not None and not _ts.supported(cfg.talker, 1, mode):
+        mode = None
+    talker_bpp = {None: 1.0, "int8": 1.0, "w8a8": 1.0,
+                  "bf16": 2.0, "w4a8": 0.5}[mode]
+    bytes_frame = (talker_bpp * talker_p + head_rows) \
+        + 15 * pred_p + pred_head
     stream_gbps = bytes_frame / frame_s / 1e9
     print(json.dumps({
         "metric": "rtf",

@@ -33,7 +33,7 @@ M-RoPE + SwiGLU structure.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -538,6 +538,30 @@ def prep_layer_weights(cfg, params, weights: str = "int8") -> Dict[str, Any]:
         "gu_q": gu_q, "gu_s": gu_s.astype(jnp.float32),
         "dn_q": dn_q, "dn_s": dn_s.astype(jnp.float32),
     }
+
+
+def fused_mode() -> Optional[str]:
+    """Resolve QTTS_FUSED_TALKER into a weight mode, or None (XLA path).
+
+    Default (env unset) is **"w4a8"** on TPU backends: measured the fastest
+    end-to-end mode on v5e (bulk 3.63 ms/frame vs 4.78 for the XLA carry-KV
+    path, scan64 step 1.97 ms vs ~2.6) with llama.cpp Q4-class weight
+    numerics — the same quantization class as the reference's default
+    Q4/Q5_K_M GGUFs (`/root/reference/README.md:27`).  Set
+    QTTS_FUSED_TALKER=0 for the exact-int8 XLA path, or w8a8/bf16/int8 for
+    the other kernel modes (see decoder_forward's gate comment).
+    """
+    import os
+    raw = os.environ.get("QTTS_FUSED_TALKER")
+    if raw in ("", "0"):
+        return None
+    if raw is None:
+        # default-on only where the kernel can actually run
+        from .flash_decode import use_flash_decode
+        return "w4a8" if use_flash_decode() else None
+    if raw in ("bf16", "w8a8", "w4a8"):
+        return raw
+    return "int8"
 
 
 def supported(cfg, batch: int, weights: str = "int8") -> bool:

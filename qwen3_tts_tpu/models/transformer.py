@@ -108,18 +108,18 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     # Whole-step Pallas megakernel (all layers, streamed weights, fused
     # flash attention): one launch instead of 28 (kernels/talker_step.py).
     # QTTS_FUSED_TALKER selects the weight mode: "1"/"int8" = int8 weights
-    # cast in VMEM (exact ops.quant numerics; ~21 min Mosaic compile —
-    # crashes the remote-compile service when scan-wrapped), "w8a8" = int8
-    # activations x int8 weights on the MXU (Q8_0-class numerics, compiles
-    # ~2x faster), "w4a8" = half-split packed int4 weights x int8
-    # activations (halves the weight stream again; Q4-class numerics),
-    # "bf16" = pre-dequantized (small program, 2x stream).
+    # cast in VMEM (exact ops.quant numerics; ~21 min Mosaic compile),
+    # "w8a8" = int8 activations x int8 weights on the MXU (Q8_0-class
+    # numerics, compiles ~2x faster), "w4a8" = half-split packed int4
+    # weights x int8 activations (halves the weight stream again; Q4-class
+    # numerics — DEFAULT on TPU, see kernels.talker_step.fused_mode),
+    # "bf16" = pre-dequantized (small program, 2x stream), "0" = XLA path.
     import os as _os
-    _fused = _os.environ.get("QTTS_FUSED_TALKER", "0")
+    from ..kernels.talker_step import fused_mode as _fused_mode
+    _mode = _fused_mode()
     if (s == 1 and uniform_cursor and use_flash_decode()
-            and _fused not in ("", "0")):
+            and _mode is not None):
         from ..kernels import talker_step as _ts
-        _mode = _fused if _fused in ("bf16", "w8a8", "w4a8") else "int8"
         if _ts.supported(cfg, b, _mode):
             hidden1, k_new, v_new = _ts.talker_step_fused(
                 cfg, params, x[:, 0], cos[:, 0], sin[:, 0],

@@ -398,10 +398,8 @@ class Generator:
         # through untouched so they need no copy.  The packed pytree rides
         # inside talker_params under "fused_<mode>" where
         # kernels.talker_step.talker_step_fused picks it up.
-        import os as _os
-        _mode = _os.environ.get("QTTS_FUSED_TALKER", "0")
-        _mode = _mode if _mode in ("bf16", "w8a8", "w4a8") else (
-            "int8" if _mode not in ("", "0") else None)
+        from ..kernels.talker_step import fused_mode as _fused_mode
+        _mode = _fused_mode()
         if _mode in ("bf16", "w4a8"):
             from ..kernels import talker_step as _ts
             if _ts.supported(cfg.talker, 1, _mode):
