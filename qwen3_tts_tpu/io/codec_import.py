@@ -132,6 +132,40 @@ def decoder_name_map(cfg) -> Dict[str, Entry]:
     return m
 
 
+def encoder_name_map(cfg) -> Dict[str, Entry]:
+    """Best-guess source names for a torch-export of the audio encoder
+    (wav -> codes, the graph behind /root/reference/src/models/onnx.rs:82-122).
+    Same conventions as decoder_name_map; every assumption is validated by
+    convert_codec, so a wrong guess fails loudly with the tensor named."""
+    m: Dict[str, Entry] = {
+        "in_conv/w": ("in_conv.weight", None),
+        "in_conv/b": ("in_conv.bias", None),
+        "out_proj": ("out_proj.weight", "T"),
+        "codebooks": [(f"quantizer.codebooks.{q}.weight", None)
+                      for q in range(cfg.n_codebooks)],
+    }
+    for i in range(len(cfg.downsample_factors)):
+        m[f"stages/{i}/w"] = (f"down_stages.{i}.weight", None)
+        m[f"stages/{i}/b"] = (f"down_stages.{i}.bias", None)
+    return m
+
+
+def speaker_name_map(cfg) -> Dict[str, Entry]:
+    """Best-guess source names for a torch-export of the speaker encoder
+    (mel -> spk_emb, /root/reference/src/models/onnx.rs:125-163).  The
+    attention value vector is torch Linear(d, 1).weight [1, d] -> ravel."""
+    m: Dict[str, Entry] = {
+        "in_proj": ("in_proj.weight", "T"),
+        "attn_w": ("attention.w.weight", "T"),
+        "attn_v": ("attention.v.weight", np.ravel),
+        "head": ("head.weight", "T"),
+    }
+    for i in range(cfg.n_layers):
+        m[f"convs/{i}/w"] = (f"convs.{i}.weight", None)
+        m[f"convs/{i}/b"] = (f"convs.{i}.bias", None)
+    return m
+
+
 @dataclass
 class InferReport:
     assigned: Dict[str, Entry] = field(default_factory=dict)

@@ -24,12 +24,12 @@ def native():
     return cfg, params
 
 
-def _torch_export(cfg, params):
+def _torch_export(cfg, params, nm=None):
     """Initializers as a torch-style export would name/lay them out
     (Linear [out,in], ConvTranspose [in,out,K], per-layer unstacked)."""
     flat = flatten_pytree(params)
     inits = {}
-    nm = ci.decoder_name_map(cfg)
+    nm = ci.decoder_name_map(cfg) if nm is None else nm
     for path, entry in nm.items():
         t = flat[path]
         singles = entry if isinstance(entry, list) else [entry]
@@ -132,6 +132,55 @@ def test_infer_name_map_on_opaque_names(native):
     # tiny config: ln1/ln2/final_norm all share [d]; q/k/v/o are square ->
     # those land in `ambiguous`, by design
     assert rep.ambiguous, "expected shape-ambiguous groups at tiny dims"
+
+
+def test_encoder_round_trip_exact():
+    """encoder_name_map + convert_codec rebuild the audio-encoder pytree
+    bit-for-bit from a torch-style export, and the converted params encode
+    identically (proves tuple/stage reconstruction, not just leaf copies)."""
+    import jax
+    import jax.numpy as jnp
+    from qwen3_tts_tpu.core.config import CodecEncoderConfig
+    from qwen3_tts_tpu.models.codec.encoder import (encode,
+                                                    init_encoder_params)
+    cfg = CodecEncoderConfig.tiny()
+    params = init_encoder_params(cfg, jax.random.PRNGKey(0))
+    inits = _torch_export(cfg, params, nm=ci.encoder_name_map(cfg))
+    out = ci.convert_codec(inits, cfg, name_map=ci.encoder_name_map(cfg),
+                           init_fn=init_encoder_params)
+    got, want = flatten_pytree(out), flatten_pytree(params)
+    assert set(got) == set(want)
+    for path in want:
+        np.testing.assert_array_equal(np.asarray(got[path], np.float32),
+                                      np.asarray(want[path], np.float32),
+                                      err_msg=path)
+    wav = jax.random.normal(jax.random.PRNGKey(1), (1, 64), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(encode(cfg, out, wav)),
+                                  np.asarray(encode(cfg, params, wav)))
+
+
+def test_speaker_round_trip_exact():
+    import jax
+    import jax.numpy as jnp
+    from qwen3_tts_tpu.core.config import SpeakerEncoderConfig
+    from qwen3_tts_tpu.models.codec.speaker import (init_speaker_params,
+                                                    speaker_embed_from_mel)
+    cfg = SpeakerEncoderConfig.tiny()
+    params = init_speaker_params(cfg, jax.random.PRNGKey(0))
+    inits = _torch_export(cfg, params, nm=ci.speaker_name_map(cfg))
+    out = ci.convert_codec(inits, cfg, name_map=ci.speaker_name_map(cfg),
+                           init_fn=init_speaker_params)
+    got, want = flatten_pytree(out), flatten_pytree(params)
+    assert set(got) == set(want)
+    for path in want:
+        np.testing.assert_array_equal(np.asarray(got[path], np.float32),
+                                      np.asarray(want[path], np.float32),
+                                      err_msg=path)
+    mels = jax.random.normal(jax.random.PRNGKey(1), (1, 12, cfg.n_mels),
+                             jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(speaker_embed_from_mel(cfg, out, mels)),
+        np.asarray(speaker_embed_from_mel(cfg, params, mels)))
 
 
 def test_validate_against_onnx_reports_mismatch(native):
