@@ -98,12 +98,14 @@ def main() -> None:
         return t_prefill, total
 
     def ttft_once(seed: int):
+        """Fused prefill + first frame + codec: ONE dispatch, one sync —
+        the schedule engine._stream_inference uses for its first chunk."""
         t0 = time.perf_counter()
-        state = generator.start(embeds, lengths, jax.random.PRNGKey(seed))
         dec_state = codec_decoder.init_decoder_state(
             cfg.codec_decoder, dec_params, batch=1)
-        state, dec_state, codes, valid, wav = generator.chunk_with_audio(
-            state, dec_state, sampler, prompt_cap=PROMPT_CAP, n_frames=1)
+        state, dec_state, codes, valid, wav = generator.start_first_chunk(
+            embeds, lengths, jax.random.PRNGKey(seed), dec_state, sampler,
+            prompt_cap=PROMPT_CAP, n_frames=1)
         hard_sync(wav)
         return time.perf_counter() - t0
 
@@ -125,16 +127,17 @@ def main() -> None:
 
     def run_batch(b: int):
         """Batched non-streaming requests through the bulk program; the
-        per-stream TTFT figure is the streaming first chunk at this batch."""
+        per-stream TTFT figure is the streaming first chunk at this batch
+        (fused prefill+first-frame program: one dispatch, one sync)."""
         embeds_b = jax.random.normal(k5, (b, PROMPT_CAP, cfg.talker.d_model),
                                      jnp.float32) * 0.02
         lengths_b = jnp.full((b,), PROMPT_CAP, jnp.int32)
         t0 = time.perf_counter()
-        state = generator.start(embeds_b, lengths_b, jax.random.PRNGKey(9))
         dec_state = codec_decoder.init_decoder_state(
             cfg.codec_decoder, dec_params, batch=b)
-        state, dec_state, codes, valid, wav = generator.chunk_with_audio(
-            state, dec_state, sampler, prompt_cap=PROMPT_CAP, n_frames=1)
+        state, dec_state, codes, valid, wav = generator.start_first_chunk(
+            embeds_b, lengths_b, jax.random.PRNGKey(9), dec_state, sampler,
+            prompt_cap=PROMPT_CAP, n_frames=1)
         hard_sync(wav)
         ttft_b = time.perf_counter() - t0
         state, dec_state, codes, valid, wav, _, _ = generator.run_bulk(
@@ -195,7 +198,7 @@ def main() -> None:
         "audio_seconds": round(audio_s, 3),
         "device": str(dev),
         "talker_layers": cfg.talker.n_layers,
-        "weights": "int8",
+        "weights": f"int8+fused_{mode}" if mode else "int8",
         "mfu": round(mfu, 4),
         "weight_stream_gbps": round(stream_gbps, 1),
         "ms_per_frame": round(frame_s * 1000, 2),

@@ -472,6 +472,101 @@ class TtsEngine:
         for piece in split_sentences(text, max_chars):
             yield from self.generate_stream(piece, voice, instruct)
 
+    def stream_batch(self, texts, voices, instructs=None
+                     ) -> Iterator[list]:
+        """Batched streaming synthesis: a wave of b requests decodes in
+        lockstep and every chunk boundary yields a list of b float32
+        waveform pieces (zero-length once a lane has finished).
+
+        The wave's first audio arrives from ONE device program (prompt
+        assembly + prefill + first chunk + codec fused —
+        Generator.start_plans_first_chunk), so batched first-chunk latency
+        pays a single dispatch+sync round-trip; the reference is
+        single-stream only (engine.rs:445).  Programs compile per
+        (b, prompt bucket) — warm lanes with equal-size waves.  The ONNX
+        codec engine path decodes chunks per-lane on the host instead
+        (same schedule the B=1 streaming path uses)."""
+        cfg = self.config
+        b = len(texts)
+        if isinstance(voices, VoiceFile):
+            voices = [voices] * b
+        if instructs is None or isinstance(instructs, str):
+            instructs = [instructs] * b
+        plans = [self._build_voice_prompt(t, v, i)
+                 for t, v, i in zip(texts, voices, instructs)]
+        a, lengths, bucket = self._plans_to_arrays(plans)
+        seed = self.sampler_config.seed
+        if seed is None:
+            seed = time.time_ns() & 0x7FFFFFFFFFFFFFFF
+        key = jax.random.PRNGKey(seed)
+        sampler = SamplerParams.make(self.sampler_config)
+        spf = cfg.codec_decoder.samples_per_frame
+        n_chunk = cfg.runtime.frames_per_chunk
+        first_n = cfg.runtime.first_chunk_frames
+        first_n = min(first_n, n_chunk) if first_n > 0 else n_chunk
+        use_onnx = self.onnx_decoder is not None
+        done = np.zeros(b, bool)
+        steps = 0
+
+        def emit(codes_or_wav, valid, n, dec_states):
+            """Per-lane audio for one chunk; marks finished lanes."""
+            out = []
+            valid_np = np.asarray(valid)
+            for i in range(b):
+                if done[i] and dec_states is None:
+                    out.append(np.zeros(0, np.float32))
+                    continue
+                n_valid = int(valid_np[i].sum())
+                if use_onnx:
+                    finished = done[i] or n_valid < n or steps >= \
+                        self.max_steps
+                    if done[i] or n_valid == 0:
+                        piece = np.zeros(0, np.float32)
+                    else:
+                        piece, dec_states[i] = self.onnx_decoder.decode(
+                            np.asarray(codes_or_wav[i, :n_valid]),
+                            dec_states[i], is_final=finished)
+                        piece = np.asarray(piece, np.float32)
+                else:
+                    piece = np.asarray(
+                        codes_or_wav[i, : n_valid * spf], np.float32)
+                out.append(piece)
+                if n_valid < n:
+                    done[i] = True
+            return out
+
+        if use_onnx:
+            state, lengths, bucket = self.start_plans(plans, bucket, key)
+            dec_states = [self.onnx_decoder.create_state()
+                          for _ in range(b)]
+            while steps < self.max_steps and not done.all():
+                n = min(n_chunk if steps else first_n,
+                        self.max_steps - steps)
+                state, codes, valid = self.generator.chunk(
+                    state, sampler, prompt_cap=bucket, n_frames=n)
+                steps += n
+                yield emit(codes, valid, n, dec_states)
+            return
+
+        dec_state = codec_decoder.init_decoder_state(
+            cfg.codec_decoder, self.codec_decoder_params, batch=b)
+        state, dec_state, codes, valid, wav = \
+            self.generator.start_plans_first_chunk(
+                self.assets.text_table, self.assets.codec_tables,
+                a["text_idx"], a["codec_idx"], a["frame_slot"],
+                a["spk_flag"], a["frames"], a["spk_emb"], lengths, key,
+                dec_state, sampler, prompt_cap=bucket, n_frames=first_n)
+        steps = first_n
+        yield emit(wav, valid, first_n, None)
+        while steps < self.max_steps and not done.all():
+            n = min(n_chunk, self.max_steps - steps)
+            state, dec_state, codes, valid, wav = \
+                self.generator.chunk_with_audio(
+                    state, dec_state, sampler, prompt_cap=bucket,
+                    n_frames=n)
+            steps += n
+            yield emit(wav, valid, n, None)
+
     @staticmethod
     def _safe_emb(emb: np.ndarray) -> np.ndarray:
         """Coerce a speaker embedding to the protocol width (2048): pad or

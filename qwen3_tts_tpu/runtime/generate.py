@@ -453,6 +453,66 @@ class Generator:
             codec_idx, frame_slot, spk_flag, frames, spk_emb,
             jnp.asarray(lengths, jnp.int32), key)
 
+    def start_first_chunk(self, embeds, lengths, key, dec_state,
+                          sampler: SamplerParams, prompt_cap: int,
+                          n_frames: int = 1):
+        """Prefill + the first n_frames + codec first chunk in ONE device
+        program.  TTFT on a wave of b requests pays one dispatch + one
+        host sync instead of two of each (measured 20-60 ms of round-trip
+        overhead on remote-TPU transports at batch 8-48; the reference
+        cannot fuse these at all — prefill and decode are separate
+        llama_decode calls with a thread channel to the codec,
+        engine.rs:457-543).  Returns (state, dec_state, codes, valid, wav).
+        """
+        if not hasattr(self, "_start_first"):
+            def f(tp, pp, pack, cp, embeds, lengths, key, dec_state,
+                  sampler, n_frames, prompt_cap):
+                state = prefill(self.cfg, tp, embeds, lengths, key)
+                return gen_frames_with_audio(
+                    self.cfg, tp, pp, pack, cp, state, dec_state, sampler,
+                    n_frames=n_frames, prompt_cap=prompt_cap)
+
+            self._start_first = jax.jit(
+                f, static_argnames=("n_frames", "prompt_cap"))
+        return self._start_first(
+            self.talker_params, self.predictor_params, self.assets_pack,
+            self.codec_params, embeds, jnp.asarray(lengths, jnp.int32),
+            key, dec_state, sampler, n_frames=n_frames,
+            prompt_cap=prompt_cap)
+
+    def start_plans_first_chunk(self, text_table, codec_tables, text_idx,
+                                codec_idx, frame_slot, spk_flag, frames,
+                                spk_emb, lengths, key, dec_state,
+                                sampler: SamplerParams, prompt_cap: int,
+                                n_frames: int = 1):
+        """Whole wave start in ONE device program: prompt assembly +
+        prefill + first n_frames + codec first chunk (the plans variant of
+        start_first_chunk; engine.stream_batch's first dispatch).
+        Returns (state, dec_state, codes, valid, wav)."""
+        if not hasattr(self, "_start_plans_first"):
+            from ..prompt import assemble as _assemble
+
+            def f(tp, pp, pack, cp, text_table, codec_tables, ti, ci, fs,
+                  sf, fr, se, lengths, key, dec_state, sampler, n_frames,
+                  prompt_cap):
+                embeds = jax.vmap(
+                    _assemble, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0))(
+                    text_table, codec_tables, ti, ci, fs, sf, fr, se,
+                    lengths)
+                state = prefill(self.cfg, tp, embeds, lengths, key)
+                return gen_frames_with_audio(
+                    self.cfg, tp, pp, pack, cp, state, dec_state, sampler,
+                    n_frames=n_frames, prompt_cap=prompt_cap)
+
+            self._start_plans_first = jax.jit(
+                f, static_argnames=("n_frames", "prompt_cap"))
+        return self._start_plans_first(
+            self.talker_params, self.predictor_params, self.assets_pack,
+            self.codec_params, text_table, codec_tables, text_idx,
+            codec_idx, frame_slot, spk_flag, frames, spk_emb,
+            jnp.asarray(lengths, jnp.int32), key, dec_state, sampler,
+            n_frames=n_frames, prompt_cap=prompt_cap)
+
     def start_with_prefix(self, prefix_k, prefix_v, prefix_len,
                           suffix_embeds, suffix_lengths, key,
                           total_bucket: int) -> GenState:

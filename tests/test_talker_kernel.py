@@ -58,6 +58,24 @@ def test_supported_gate():
     assert not supported(TalkerConfig.tiny(), 1)  # head_dim 16
 
 
+def test_fused_mode_resolution(monkeypatch):
+    """QTTS_FUSED_TALKER resolution: unset defaults to w4a8 only where the
+    kernel can run (TPU backends); explicit values pass through; 0 opts
+    out.  On the CPU test backend the default must resolve to None."""
+    from qwen3_tts_tpu.kernels.talker_step import fused_mode
+    monkeypatch.delenv("QTTS_FUSED_TALKER", raising=False)
+    assert fused_mode() is None          # cpu backend in tests
+    monkeypatch.setenv("QTTS_FUSED_TALKER", "0")
+    assert fused_mode() is None
+    monkeypatch.setenv("QTTS_FUSED_TALKER", "")
+    assert fused_mode() is None
+    for explicit in ("bf16", "w8a8", "w4a8"):
+        monkeypatch.setenv("QTTS_FUSED_TALKER", explicit)
+        assert fused_mode() == explicit  # honored even off-TPU (tests use
+    monkeypatch.setenv("QTTS_FUSED_TALKER", "1")     # interpret mode)
+    assert fused_mode() == "int8"
+
+
 @pytest.mark.parametrize("decoded", [0, 3])
 def test_kernel_matches_xla_step(setup, decoded):
     cfg, params = setup
