@@ -184,8 +184,19 @@ def main() -> None:
         mode = None
     talker_bpp = {None: 1.0, "int8": 1.0, "w8a8": 1.0,
                   "bf16": 2.0, "w4a8": 0.5}[mode]
+    # The fused predictor kernel in weights-resident mode reads its layer
+    # weights from HBM ONCE per frame (they stay in VMEM across the 15
+    # residual steps); the XLA path re-streams them every step.
+    import os
+    from qwen3_tts_tpu.kernels import predictor_frame as _pf
+    from qwen3_tts_tpu.kernels.flash_decode import use_flash_decode
+    pred_fused = (os.environ.get("QTTS_FUSED_PREDICTOR", "1") != "0"
+                  and use_flash_decode()
+                  and _pf.supported(cfg.predictor, 1))
+    pred_reads = 1 if (pred_fused and _pf._fits_resident(cfg.predictor)) \
+        else 15
     bytes_frame = (talker_bpp * talker_p + head_rows) \
-        + 15 * pred_p + pred_head
+        + pred_reads * pred_p + pred_head
     stream_gbps = bytes_frame / frame_s / 1e9
     print(json.dumps({
         "metric": "rtf",
@@ -201,6 +212,7 @@ def main() -> None:
         "weights": f"int8+fused_{mode}" if mode else "int8",
         "mfu": round(mfu, 4),
         "weight_stream_gbps": round(stream_gbps, 1),
+        "pred_weight_reads_per_frame": pred_reads,
         "ms_per_frame": round(frame_s * 1000, 2),
         "streams_at_rtf_lt_1_measured": streams_rt,
         "batch_rtf_per_stream": batch_rtf,

@@ -453,17 +453,33 @@ class Generator:
             codec_idx, frame_slot, spk_flag, frames, spk_emb,
             jnp.asarray(lengths, jnp.int32), key)
 
+    def _fused_start_ok(self, b: int) -> bool:
+        """Single-program wave start pays off only at small batch: fusing
+        prefill+chunk+codec saves one dispatch+sync round-trip (~15-30 ms
+        on remote-TPU transports, the dominant term at b=1) but XLA
+        schedules the combined module measurably worse at batch — measured
+        b=8: 69 vs 74 ms, b=16: 86 vs 94, b=32: 144 vs 169 (two-program vs
+        fused, min of 4) with far higher fused variance.  Above the
+        threshold the same API runs the two-program schedule."""
+        import os
+        return b <= int(os.environ.get("QTTS_FUSED_START_MAX_B", "2"))
+
     def start_first_chunk(self, embeds, lengths, key, dec_state,
                           sampler: SamplerParams, prompt_cap: int,
                           n_frames: int = 1):
-        """Prefill + the first n_frames + codec first chunk in ONE device
-        program.  TTFT on a wave of b requests pays one dispatch + one
-        host sync instead of two of each (measured 20-60 ms of round-trip
-        overhead on remote-TPU transports at batch 8-48; the reference
-        cannot fuse these at all — prefill and decode are separate
-        llama_decode calls with a thread channel to the codec,
-        engine.rs:457-543).  Returns (state, dec_state, codes, valid, wav).
-        """
+        """Prefill + the first n_frames + codec first chunk; at small batch
+        this is ONE device program, so TTFT pays a single dispatch + host
+        sync round-trip instead of two of each (the reference cannot fuse
+        these at all — prefill and decode are separate llama_decode calls
+        with a thread channel to the codec, engine.rs:457-543).  At larger
+        batch the two-program schedule wins (see _fused_start_ok) and is
+        selected automatically.  Returns (state, dec_state, codes, valid,
+        wav)."""
+        if not self._fused_start_ok(int(embeds.shape[0])):
+            state = self.start(embeds, lengths, key)
+            return self.chunk_with_audio(state, dec_state, sampler,
+                                         prompt_cap=prompt_cap,
+                                         n_frames=n_frames)
         if not hasattr(self, "_start_first"):
             def f(tp, pp, pack, cp, embeds, lengths, key, dec_state,
                   sampler, n_frames, prompt_cap):
@@ -485,10 +501,18 @@ class Generator:
                                 spk_emb, lengths, key, dec_state,
                                 sampler: SamplerParams, prompt_cap: int,
                                 n_frames: int = 1):
-        """Whole wave start in ONE device program: prompt assembly +
-        prefill + first n_frames + codec first chunk (the plans variant of
-        start_first_chunk; engine.stream_batch's first dispatch).
-        Returns (state, dec_state, codes, valid, wav)."""
+        """Whole wave start: prompt assembly + prefill + first n_frames +
+        codec first chunk (the plans variant of start_first_chunk;
+        engine.stream_batch's first dispatch).  ONE device program at small
+        batch, fused-assembly-prefill + chunk at larger batch (see
+        _fused_start_ok).  Returns (state, dec_state, codes, valid, wav)."""
+        if not self._fused_start_ok(int(text_idx.shape[0])):
+            state = self.start_from_plans(
+                text_table, codec_tables, text_idx, codec_idx, frame_slot,
+                spk_flag, frames, spk_emb, lengths, key)
+            return self.chunk_with_audio(state, dec_state, sampler,
+                                         prompt_cap=prompt_cap,
+                                         n_frames=n_frames)
         if not hasattr(self, "_start_plans_first"):
             from ..prompt import assemble as _assemble
 
