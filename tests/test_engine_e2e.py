@@ -87,6 +87,28 @@ def test_stream_batch(tiny_engine):
         np.testing.assert_array_equal(x, y)
 
 
+def test_stream_batch_schedule_gate(tiny_engine, monkeypatch):
+    """The wave-start batch gate (Generator._fused_start_ok) is a pure
+    scheduling choice: the single-program fused start and the two-program
+    start+chunk schedule must produce bit-identical audio for the same
+    seed."""
+    eng = tiny_engine
+    eng.set_max_steps(8)
+    voice = eng.get_speaker("vivian")
+
+    def run():
+        eng.set_sampler_config(SamplerConfig(seed=13))
+        waves = list(eng.stream_batch(["alpha beta", "gamma"], voice))
+        return [np.concatenate([w[i] for w in waves]) for i in range(2)]
+
+    monkeypatch.setenv("QTTS_FUSED_START_MAX_B", "99")   # force fused
+    fused = run()
+    monkeypatch.setenv("QTTS_FUSED_START_MAX_B", "0")    # force two-program
+    split = run()
+    for x, y in zip(fused, split):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_speaker_fallback(tiny_engine):
     eng = tiny_engine
     assert eng.get_speaker("vivian").name == "vivian"
