@@ -173,3 +173,29 @@ def test_int4_decoder_layers_quantize_and_place():
                                    {"layers": mesh_lib.decoder_param_specs()})
     assert placed["layers"]["wqkv"]["q4"].shape == (2, 16, 64)
     assert placed["layers"]["wqkv"]["s"].shape == (2, 1, 64)
+
+
+def test_matmul_a8_parity_and_fallback():
+    """a8w8 prefill matmul: Q8_0-class agreement with the dequant path on
+    quantized weights; exact `matmul` fallback for plain / int4 weights."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from qwen3_tts_tpu.ops import quant as Q
+
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (64, 48), jnp.float32) * 0.1
+    qw = Q.quantize_weight(w)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 7, 64), jnp.bfloat16)
+
+    y_deq = np.asarray(Q.matmul(x, qw), np.float32)
+    y_a8 = np.asarray(Q.matmul_a8(x, qw), np.float32)
+    rel = np.abs(y_deq - y_a8).max() / (np.abs(y_deq).max() + 1e-9)
+    assert rel < 0.03           # int8-activation rounding only
+
+    # unquantized fallback is bit-identical to matmul
+    np.testing.assert_array_equal(np.asarray(Q.matmul_a8(x, w)),
+                                  np.asarray(Q.matmul(x, w)))
+    q4 = Q.quantize_weight_int4(w, group=32)
+    np.testing.assert_array_equal(np.asarray(Q.matmul_a8(x, q4)),
+                                  np.asarray(Q.matmul(x, q4)))
