@@ -150,9 +150,12 @@ def main() -> None:
     batch_ttft_ms = {}
     for b in (8, 16, 32, 48):
         run_batch(b)                                   # compile/warm
-        t_b, ttft_b = min(run_batch(b) for _ in range(2))
-        batch_rtf[str(b)] = round(t_b / audio_batch_s, 4)
-        batch_ttft_ms[str(b)] = round(ttft_b * 1000, 1)
+        # Host transport jitter on the tunnel is +/-20-30%; take each
+        # metric's min over 3 reps independently (a rep with the best
+        # total is not necessarily the rep with the best first-chunk).
+        reps = [run_batch(b) for _ in range(3)]
+        batch_rtf[str(b)] = round(min(r[0] for r in reps) / audio_batch_s, 4)
+        batch_ttft_ms[str(b)] = round(min(r[1] for r in reps) * 1000, 1)
     sustaining = [int(b) for b, r in batch_rtf.items() if r < 1.0]
     streams_rt = max(sustaining) if sustaining else 0
 
