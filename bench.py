@@ -118,6 +118,19 @@ def main() -> None:
     total = float(np.mean([r[1] for r in runs]))
     ttft = float(np.mean([ttft_once(s) for s in range(1, 4)]))
 
+    # Preliminary line BEFORE the multi-minute batch sweep: if an external
+    # harness kills a slow run mid-sweep, the last complete JSON line still
+    # carries the single-stream headline.  The final line supersedes it.
+    audio_s = FRAMES * spf / P.SAMPLE_RATE
+    print(json.dumps({
+        "metric": "rtf", "value": round(total / audio_s, 4),
+        "unit": "gen_time/audio_time",
+        "vs_baseline": round(BASELINE_RTF / (total / audio_s), 3),
+        "ttft_ms": round(ttft * 1000, 1),
+        "prefill_ms": round(prefill * 1000, 1),
+        "partial": "batch sweep pending",
+        "baseline_rtf": BASELINE_RTF}), flush=True)
+
     # Multi-stream serving, MEASURED at each batch size (no extrapolation —
     # round-1 reported batch-8 throughput scaled linearly, which overstates
     # at saturation).  streams@RTF<1 = the largest measured batch whose
@@ -148,7 +161,7 @@ def main() -> None:
 
     batch_rtf = {}
     batch_ttft_ms = {}
-    for b in (8, 16, 32, 48):
+    for b in (8, 16, 32, 48, 64, 96):
         run_batch(b)                                   # compile/warm
         # Host transport jitter on the tunnel is +/-20-30%; take each
         # metric's min over 3 reps independently (a rep with the best
@@ -156,10 +169,23 @@ def main() -> None:
         reps = [run_batch(b) for _ in range(3)]
         batch_rtf[str(b)] = round(min(r[0] for r in reps) / audio_batch_s, 4)
         batch_ttft_ms[str(b)] = round(min(r[1] for r in reps) * 1000, 1)
+        # Cumulative partial line (same external-kill insurance as above):
+        # every completed batch size survives even if a later one is cut.
+        print(json.dumps({
+            "metric": "rtf", "value": round(total / audio_s, 4),
+            "unit": "gen_time/audio_time",
+            "vs_baseline": round(BASELINE_RTF / (total / audio_s), 3),
+            "ttft_ms": round(ttft * 1000, 1),
+            "prefill_ms": round(prefill * 1000, 1),
+            "streams_at_rtf_lt_1_measured": max(
+                [int(k) for k, r in batch_rtf.items() if r < 1.0] or [0]),
+            "batch_rtf_per_stream": dict(batch_rtf),
+            "batch_ttft_ms": dict(batch_ttft_ms),
+            "partial": f"sweep through b={b}",
+            "baseline_rtf": BASELINE_RTF}), flush=True)
     sustaining = [int(b) for b, r in batch_rtf.items() if r < 1.0]
     streams_rt = max(sustaining) if sustaining else 0
 
-    audio_s = FRAMES * spf / P.SAMPLE_RATE
     rtf = total / audio_s
 
     # Hardware-utilization accounting (decode is HBM-bound, so both views):
