@@ -63,7 +63,7 @@ def talker_prefill(cfg: TalkerConfig, params, embeds: jnp.ndarray,
     cache = cache.replace(lengths=lengths.astype(jnp.int32))
     hidden_all, cache = transformer.decoder_forward(
         cfg, params, embeds.astype(jnp.dtype(cfg.dtype)), cos, sin, cache,
-        prompt_cap=s_max)
+        prompt_cap=s_max, a8=True)
 
     last = jnp.clip(lengths - 1, 0, s_max - 1)
     hidden = jnp.take_along_axis(hidden_all, last[:, None, None], axis=1)[:, 0]

@@ -88,7 +88,8 @@ def init_decoder_params(cfg, key: jax.Array) -> Dict[str, Any]:
 def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
                     cos: jnp.ndarray, sin: jnp.ndarray, cache: KVCache,
                     prompt_cap: int,
-                    uniform_cursor: bool = True) -> Tuple[jnp.ndarray, KVCache]:
+                    uniform_cursor: bool = True,
+                    a8: bool = False) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder over S new tokens.
 
     x: [B, S, D] input embeddings; cos/sin: [B, S, Dh] rotary tables for the
@@ -150,16 +151,27 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     # (bucket + max_steps slots) — a 3-8x cut of prefill attention
     # FLOPs/softmax width, straight off batched TTFT.  Masked-away slots
     # are zero/invalid either way, so numerics are unchanged.
-    attn_win = min(prompt_cap, cache.capacity) if s > 1 else cache.capacity
+    # The window must also cover the S rows being written this call: the
+    # predictor's per-frame prefill passes prompt_cap=0 (its rows are
+    # generated slots at [0, s), not prompt), so clamping to prompt_cap
+    # alone would zero its attention.  max(prompt_cap, s) covers both
+    # layouts — fresh prefill writes [0, s) and suffix prefill ends at or
+    # below prompt_cap by construction.
+    attn_win = min(max(prompt_cap, s), cache.capacity) if s > 1 \
+        else cache.capacity
     mask = (None if use_flash else
             history_mask(cache.lengths, prompt_cap, start, s, attn_win))
 
-    # Prefill matmuls run a8w8 (int8 activations x int8 weights) by
-    # default: 1.45x the dequant-into-the-dot throughput on v5e, Q8_0-class
-    # activation noise — the same class the fused talker decode already
-    # applies.  QTTS_A8_PREFILL=0 restores exact deq-bf16 numerics.
-    # Decode steps (s == 1) keep the bandwidth-optimal dequant path.
-    mm = (_mm_a8 if s > 1
+    # Prompt-prefill matmuls run a8w8 (int8 activations x int8 weights)
+    # when the caller opts in (a8=True — the talker's prompt prefill and
+    # the prefix-cache suffix prefill): 1.45x the dequant-into-the-dot
+    # throughput on v5e, Q8_0-class activation noise — the same class the
+    # fused talker decode already applies.  QTTS_A8_PREFILL=0 restores
+    # exact deq-bf16 numerics.  Decode steps (s == 1) keep the
+    # bandwidth-optimal dequant path, and the predictor's tiny per-frame
+    # prefill (s=2) stays exact: there is nothing to win at 2 rows and the
+    # fused predictor kernel's exact-match parity must hold.
+    mm = (_mm_a8 if s > 1 and a8
           and _os.environ.get("QTTS_A8_PREFILL", "1") != "0" else _mm)
 
     def layer_fn(carry, layer):

@@ -146,7 +146,7 @@ def transformer_forward_suffix(cfg, talker_params, embeds, cos, sin, cache,
     return transformer.decoder_forward(
         cfg.talker, talker_params,
         embeds.astype(jnp.dtype(cfg.talker.dtype)), cos, sin, cache,
-        prompt_cap=total_bucket)
+        prompt_cap=total_bucket, a8=True)
 
 
 def _predict_frame_dispatch(cfg: EngineConfig, predictor_params, h1024,

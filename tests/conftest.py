@@ -29,6 +29,7 @@ _QUICK_FILES = {
     "test_gguf.py", "test_prefix_cache.py", "test_engine_e2e.py",
     "test_onnx_codec.py", "test_continuous.py", "test_bulk.py",
     "test_io.py", "test_api.py", "test_tokenizer_real.py",
+    "test_models.py",
 }
 
 

@@ -100,3 +100,47 @@ def test_predictor_deterministic():
     a = predictor_lib.predict_frame(cfg, params, h, code0, tables)
     b = predictor_lib.predict_frame(cfg, params, h, code0, tables)
     assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_generated_slot_prefill_attends_own_rows():
+    """Prefill with prompt_cap=0 — the predictor's per-frame layout, where
+    every row is a generated slot, not prompt — must attend causally over
+    the rows it writes.  Regression: the prefill attention window was once
+    clamped to prompt_cap alone, zeroing the predictor's self-attention
+    (caught by the fused-predictor parity test; pinned here directly)."""
+    from qwen3_tts_tpu.ops.rope import inv_frequencies, rope_cos_sin
+
+    cfg = PredictorConfig.tiny()
+    params = transformer.init_decoder_params(cfg, jax.random.PRNGKey(9))
+    inv = jnp.asarray(inv_frequencies(cfg.head_dim, cfg.rope_theta))
+    b, s, cap = 2, 2, 17
+    x = jax.random.normal(jax.random.PRNGKey(10), (b, s, cfg.d_model)) * 0.3
+    pos = jnp.arange(s, dtype=jnp.int32)[None, :].repeat(b, 0)
+    cos, sin = rope_cos_sin(pos, inv)
+
+    cache = transformer.init_kv_cache(cfg, b, cap, jnp.float32)
+    cache = cache.replace(lengths=jnp.zeros((b,), jnp.int32))
+    h_pre, _ = transformer.decoder_forward(cfg, params, x, cos, sin, cache,
+                                           prompt_cap=0)
+
+    # Reference: feed the two rows one at a time (s=1 decode steps).
+    cache2 = transformer.init_kv_cache(cfg, b, cap, jnp.float32)
+    cache2 = cache2.replace(lengths=jnp.zeros((b,), jnp.int32))
+    h_steps = []
+    for t in range(s):
+        c, sn = rope_cos_sin(pos[:, t:t + 1], inv)
+        h_t, cache2 = transformer.decoder_forward(
+            cfg, params, x[:, t:t + 1], c, sn, cache2, prompt_cap=0)
+        h_steps.append(h_t[:, 0])
+    np.testing.assert_allclose(np.asarray(h_pre[:, -1]),
+                               np.asarray(h_steps[-1]), atol=2e-4)
+    # The second row's hidden must actually depend on the first row:
+    x_swap = x.at[:, 0].set(x[:, 0] * -1.0)
+    h_swap, _ = transformer.decoder_forward(
+        cfg, params, x_swap, cos, sin,
+        cache.replace(k=jnp.zeros_like(cache.k),
+                      v=jnp.zeros_like(cache.v),
+                      write_idx=jnp.zeros_like(cache.write_idx)),
+        prompt_cap=0)
+    assert np.abs(np.asarray(h_swap[:, -1]) -
+                  np.asarray(h_pre[:, -1])).max() > 1e-4
