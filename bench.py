@@ -26,6 +26,26 @@ CHUNK = 4
 
 
 def main() -> None:
+    # Backend-init watchdog: a dead TPU tunnel makes jax.devices() hang
+    # forever inside PJRT init (observed 2026-08-17: the axon tunnel went
+    # down mid-round and every probe hung).  Emit a diagnostic JSON line
+    # and exit instead, so a harness capturing stdout records WHY there is
+    # no measurement rather than nothing at all.
+    import os
+    import threading
+
+    def _init_timeout():
+        print(json.dumps({
+            "metric": "rtf", "value": None, "unit": "gen_time/audio_time",
+            "error": "device backend failed to initialize within 300 s "
+                     "(TPU tunnel down?)", "baseline_rtf": BASELINE_RTF}),
+            flush=True)
+        os._exit(3)
+
+    watchdog = threading.Timer(300.0, _init_timeout)
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
     import jax.numpy as jnp
 
@@ -42,6 +62,7 @@ def main() -> None:
 
     cfg = EngineConfig()
     dev = jax.devices()[0]
+    watchdog.cancel()
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
