@@ -66,6 +66,28 @@ def main(argv=None) -> int:
     print(f"=== Qwen3-TTS TPU CLI ===")
     print(f"Model dir: {args.model_dir}  quant: {args.quant}")
 
+    # Backend-init watchdog: a dead device transport (e.g. a downed TPU
+    # tunnel) hangs forever inside PJRT init, which reads as a framework
+    # freeze.  Turn it into a diagnosed failure.  Only device *init* is
+    # bounded — compiles can legitimately take minutes and are untouched.
+    import os
+    import threading
+
+    def _init_timeout():
+        print("error: device backend failed to initialize within "
+              f"{timeout_s:.0f} s (device transport down?).  Set "
+              "QTTS_INIT_TIMEOUT to adjust (0 disables).", file=sys.stderr)
+        os._exit(3)
+
+    timeout_s = float(os.environ.get("QTTS_INIT_TIMEOUT", "300"))
+    if timeout_s > 0:
+        watchdog = threading.Timer(timeout_s, _init_timeout)
+        watchdog.daemon = True
+        watchdog.start()
+        import jax
+        jax.devices()
+        watchdog.cancel()
+
     if not args.skip_download:
         try:
             TtsEngine.download_models(args.model_dir, args.quant)
