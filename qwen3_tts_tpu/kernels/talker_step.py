@@ -106,14 +106,15 @@ def _qmm(x_bf16, w, scale_row, w8a8: bool = False):
 INT4_GROUP = 128
 
 
-def _qmm4(x_bf16, w_ref, s_ref):
+def _qmm4(x_bf16, w_ref, s):
     """w4a8 matmul: int8 activations x HALF-SPLIT packed int4 weights.
 
     w_ref [K/2, N] int8 VMEM ref: byte row r holds K-row r in its low
     nibble and K-row r + K/2 in its high nibble (prep_layer_weights
     packs this way so both nibble dots read CONTIGUOUS activation
-    slices — no even/odd de-interleave in VMEM).  s_ref [1, K/G, N]
-    f32: grouped scales in K order, so byte-row block i (G rows) uses
+    slices — no even/odd de-interleave in VMEM).  s [K/G, N] f32
+    (one layer's grouped scales, loaded from the blocked ref by the
+    caller): scales in K order, so byte-row block i (G rows) uses
     scale row i for its lo nibbles and row K/(2G) + i for its hi
     nibbles.  The unpack + dot runs per G-row block: Mosaic compiles
     each small block program instead of unrolling a full-matrix cast
@@ -140,7 +141,7 @@ def _qmm4(x_bf16, w_ref, s_ref):
         d_hi = jax.lax.dot_general(
             xo, hi, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32).astype(jnp.float32)
-        acc = acc + d_lo * s_ref[0, i] + d_hi * s_ref[0, nb + i]
+        acc = acc + d_lo * s[i] + d_hi * s[nb + i]
     return (acc * sx).astype(jnp.bfloat16)
 
 
@@ -153,16 +154,18 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
             x_sc, k_sc, v_sc, q3_sc, kn3_sc, vn3_sc, ctx_sc,
             wqkv_buf, wo_buf, gu_buf, dn_buf,
             kv_sems, wsems,
-            *, cfg_static, wmode="int8"):
+            *, cfg_static, wmode="int8", lps=1):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
     w8a8 = wmode == "w8a8"
 
-    def qmm(x, buf, s_ref, l):
+    def qmm(x, buf, s_ref, l, li):
         if wmode == "w4a8":
-            return _qmm4(x, buf, s_ref)
+            # blocked scales: [lps, K/G, N] per grid step; load this
+            # layer's [K/G, N] slice (dynamic untiled leading index)
+            return _qmm4(x, buf, s_ref[li])
         return _qmm(x, buf[...], s_ref[l], w8a8)
 
-    l = pl.program_id(0)
+    g = pl.program_id(0)                   # grid step: layers [g*lps, ...)
     rep = H // HKV
     dq = H * DH
     dkv = HKV * DH
@@ -174,187 +177,201 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
                     (gu_hbm, gu_buf), (dn_hbm, dn_buf)][which]
         return pltpu.make_async_copy(hbm.at[layer], buf, wsems.at[which])
 
-    @pl.when(l == 0)
+    @pl.when(g == 0)
     def _():
         x_sc[...] = x0_ref[...]
         for w in range(4):
             wdma(w, 0).start()
 
-    x = x_sc[...]
+    def layer_iter(li, x):
+        """One decoder layer; li in [0, lps), global layer l = g*lps + li.
+        The weight-stream chaining (wait l, start l+1) is identical to the
+        one-layer-per-grid-step schedule — the single-slot DMA pipeline
+        does not care where the grid/loop boundary falls."""
+        l = g * lps + li
 
-    # ---- qkv
-    wdma(0, l).wait()
-    hn = _rms(x, ln1_ref[l], EPS).astype(jnp.bfloat16)
-    qkv = qmm(hn, wqkv_buf, wqkv_s, l)
+        # ---- qkv
+        wdma(0, l).wait()
+        hn = _rms(x, ln1_ref[l], EPS).astype(jnp.bfloat16)
+        qkv = qmm(hn, wqkv_buf, wqkv_s, l, li)
 
-    @pl.when(l + 1 < L)
-    def _():
-        wdma(0, l + 1).start()
+        @pl.when(l + 1 < L)
+        def _():
+            wdma(0, l + 1).start()
 
-    q = qkv[:, :dq]
-    k = qkv[:, dq: dq + dkv]
-    v = qkv[:, dq + dkv:]
-    q = _blk_rms(q, qn_ref[l], seg_q_ref[...], DH, EPS).astype(jnp.bfloat16)
-    k = _blk_rms(k, kn_ref[l], seg_k_ref[...], DH, EPS).astype(jnp.bfloat16)
-    cos_q = cos_ref[...]                                 # [B, dq] f32
-    sin_q = sin_ref[...]
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    q = (qf * cos_q + _blk_rotate_half(qf, DH) * sin_q).astype(jnp.bfloat16)
-    k = (kf * cos_q[:, :dkv] + _blk_rotate_half(kf, DH) * sin_q[:, :dkv]
-         ).astype(jnp.bfloat16)
+        q = qkv[:, :dq]
+        k = qkv[:, dq: dq + dkv]
+        v = qkv[:, dq + dkv:]
+        q = _blk_rms(q, qn_ref[l], seg_q_ref[...], DH,
+                     EPS).astype(jnp.bfloat16)
+        k = _blk_rms(k, kn_ref[l], seg_k_ref[...], DH,
+                     EPS).astype(jnp.bfloat16)
+        cos_q = cos_ref[...]                             # [B, dq] f32
+        sin_q = sin_ref[...]
+        qf = q.astype(jnp.float32)
+        kf = k.astype(jnp.float32)
+        q = (qf * cos_q
+             + _blk_rotate_half(qf, DH) * sin_q).astype(jnp.bfloat16)
+        k = (kf * cos_q[:, :dkv] + _blk_rotate_half(kf, DH) * sin_q[:, :dkv]
+             ).astype(jnp.bfloat16)
 
-    # stage q/k/v into per-head layout: [HKV, rep*BP, DH] / [HKV, BP, DH]
-    for j in range(HKV):
-        for c in range(rep):
-            h = j * rep + c
-            q3_sc[j, c * BP:(c + 1) * BP] = q[:, h * DH:(h + 1) * DH]
-        kn3_sc[j] = k[:, j * DH:(j + 1) * DH]
-        vn3_sc[j] = v[:, j * DH:(j + 1) * DH]
+        # stage q/k/v into per-head layout: [HKV, rep*BP, DH] / [HKV, BP, DH]
+        for j in range(HKV):
+            for c in range(rep):
+                h = j * rep + c
+                q3_sc[j, c * BP:(c + 1) * BP] = q[:, h * DH:(h + 1) * DH]
+            kn3_sc[j] = k[:, j * DH:(j + 1) * DH]
+            vn3_sc[j] = v[:, j * DH:(j + 1) * DH]
 
-    # new-token k/v leave as a per-layer output block; the caller scatters
-    # them into the cache with one fused dynamic_update_slice (in-place
-    # under donation) — VMEM sublane slicing rules out per-lane DMAs here
-    k_tok_ref[0] = kn3_sc[...]
-    v_tok_ref[0] = vn3_sc[...]
+        # new-token k/v leave as a per-layer output row (block [lps, ...]
+        # per grid step, dynamic untiled row li); the caller scatters them
+        # into the cache with one fused dynamic_update_slice (in-place
+        # under donation) — VMEM sublane slicing rules out per-lane DMAs
+        k_tok_ref[li] = kn3_sc[...]
+        v_tok_ref[li] = vn3_sc[...]
 
-    # ---- flash attention over the live prefix, chunked + double-buffered
-    q3 = q3_sc[...].astype(jnp.float32) * (DH ** -0.5)   # [HKV, rB, DH]
+        # ---- flash attention over the live prefix, chunked+double-buffered
+        q3 = q3_sc[...].astype(jnp.float32) * (DH ** -0.5)  # [HKV, rB, DH]
 
-    def kv_dma(slot, ci, b):
-        # [HKV, KV_CHUNK, DH] chunk of lane b's cache for this layer
-        return (pltpu.make_async_copy(
-                    k_hbm.at[l, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
-                    k_sc.at[slot, b], kv_sems.at[slot, b, 0]),
-                pltpu.make_async_copy(
-                    v_hbm.at[l, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
-                    v_sc.at[slot, b], kv_sems.at[slot, b, 1]))
+        def kv_dma(slot, ci, b):
+            # [HKV, KV_CHUNK, DH] chunk of lane b's cache for this layer
+            return (pltpu.make_async_copy(
+                        k_hbm.at[l, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
+                        k_sc.at[slot, b], kv_sems.at[slot, b, 0]),
+                    pltpu.make_async_copy(
+                        v_hbm.at[l, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
+                        v_sc.at[slot, b], kv_sems.at[slot, b, 1]))
 
-    @pl.when(n_chunks > 0)
-    def _():
-        for b in range(B):
-            for dma in kv_dma(0, 0, b):
-                dma.start()
-
-    def chunk_body(ci, carry):
-        m, s_sum, acc = carry
-        slot = jax.lax.rem(ci, 2)
-        nslot = jax.lax.rem(ci + 1, 2)
-
-        @pl.when(ci + 1 < n_chunks)
+        @pl.when(n_chunks > 0)
         def _():
             for b in range(B):
-                for dma in kv_dma(nslot, ci + 1, b):
+                for dma in kv_dma(0, 0, b):
                     dma.start()
 
-        for b in range(B):
-            for dma in kv_dma(slot, ci, b):
-                dma.wait()
+        def chunk_body(ci, carry):
+            m, s_sum, acc = carry
+            slot = jax.lax.rem(ci, 2)
+            nslot = jax.lax.rem(ci + 1, 2)
 
-        ks = k_sc[slot].astype(jnp.float32)              # [B, HKV, CK, DH]
-        vs = v_sc[slot].astype(jnp.float32)
-        # scores per lane b: q3 is [HKV, rep*B, DH] with lane b at rows
-        # c*B + b; batched dot over HKV
-        c_idx = ci * KV_CHUNK + jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, KV_CHUNK), 2)              # [1, 1, CK]
-        m_new, s_new, acc_new = m, s_sum, acc
-        # process each batch lane's chunk (its validity differs)
-        for b in range(B):
-            sb = jax.lax.dot_general(
-                q3, ks[b], (((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)      # [HKV, rB, CK]
-            valid = (c_idx < lengths_ref[b]) | \
-                ((c_idx >= PCAP) & (c_idx < start))
-            sb = jnp.where(valid, sb, NEG_INF)
-            # mask out other lanes' rows so their running stats don't move
-            rowb = jax.lax.broadcasted_iota(jnp.int32, sb.shape, 1) % BP == b
-            sb = jnp.where(rowb, sb, NEG_INF)
-            mb = jnp.maximum(m, jnp.max(sb, axis=2, keepdims=True))
-            p = jnp.exp(sb - mb)                         # [HKV, rB, CK]
-            alpha = jnp.exp(m - mb)
-            ab = acc * alpha + jax.lax.dot_general(
-                p, vs[b], (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)      # [HKV, rB, DH]
-            sb_sum = s_sum * alpha + jnp.sum(p, axis=2, keepdims=True)
-            m_new = jnp.where(rowb[:, :, :1], mb, m_new)
-            s_new = jnp.where(rowb[:, :, :1], sb_sum, s_new)
-            acc_new = jnp.where(rowb[:, :, :1], ab, acc_new)
-        return m_new, s_new, acc_new
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                for b in range(B):
+                    for dma in kv_dma(nslot, ci + 1, b):
+                        dma.start()
 
-    rB = rep * BP
-    m0 = jnp.full((HKV, rB, 1), NEG_INF, jnp.float32)
-    s0 = jnp.zeros((HKV, rB, 1), jnp.float32)
-    a0 = jnp.zeros((HKV, rB, DH), jnp.float32)
-    m, s_sum, acc = jax.lax.fori_loop(0, n_chunks, chunk_body, (m0, s0, a0))
+            for b in range(B):
+                for dma in kv_dma(slot, ci, b):
+                    dma.wait()
 
-    # current token column (always valid, self-attention).  Row c*B + b of
-    # q3 pairs with kn3 row b; select via a row%B == col mask on the full
-    # [rB, B] score block (Mosaic has no tiny-sublane concat/tile).
-    kn3 = kn3_sc[...].astype(jnp.float32)                # [HKV, B, DH]
-    vn3 = vn3_sc[...].astype(jnp.float32)
-    sc_all = jax.lax.dot_general(
-        q3, kn3, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # [HKV, rB, B]
-    rowm = jax.lax.broadcasted_iota(jnp.int32, sc_all.shape, 1) % BP
-    colm = jax.lax.broadcasted_iota(jnp.int32, sc_all.shape, 2)
-    sel = rowm == colm
-    s_cur = jnp.sum(jnp.where(sel, sc_all, 0.0), axis=2,
-                    keepdims=True)                       # [HKV, rB, 1]
-    m_f = jnp.maximum(m, s_cur)
-    alpha = jnp.exp(m - m_f)
-    p_cur = jnp.exp(s_cur - m_f)
-    pv = jax.lax.dot_general(
-        jnp.where(sel, p_cur, 0.0), vn3, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # [HKV, rB, DH]
-    acc = acc * alpha + pv
-    s_sum = s_sum * alpha + p_cur
-    ctx3 = acc / jnp.maximum(s_sum, 1e-30)               # [HKV, rB, DH]
+            ks = k_sc[slot].astype(jnp.float32)          # [B, HKV, CK, DH]
+            vs = v_sc[slot].astype(jnp.float32)
+            # scores per lane b: q3 is [HKV, rep*B, DH] with lane b at rows
+            # c*B + b; batched dot over HKV
+            c_idx = ci * KV_CHUNK + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, KV_CHUNK), 2)          # [1, 1, CK]
+            m_new, s_new, acc_new = m, s_sum, acc
+            # process each batch lane's chunk (its validity differs)
+            for b in range(B):
+                sb = jax.lax.dot_general(
+                    q3, ks[b], (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [HKV, rB, CK]
+                valid = (c_idx < lengths_ref[b]) | \
+                    ((c_idx >= PCAP) & (c_idx < start))
+                sb = jnp.where(valid, sb, NEG_INF)
+                # mask other lanes' rows so their running stats don't move
+                rowb = jax.lax.broadcasted_iota(
+                    jnp.int32, sb.shape, 1) % BP == b
+                sb = jnp.where(rowb, sb, NEG_INF)
+                mb = jnp.maximum(m, jnp.max(sb, axis=2, keepdims=True))
+                p = jnp.exp(sb - mb)                     # [HKV, rB, CK]
+                alpha = jnp.exp(m - mb)
+                ab = acc * alpha + jax.lax.dot_general(
+                    p, vs[b], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [HKV, rB, DH]
+                sb_sum = s_sum * alpha + jnp.sum(p, axis=2, keepdims=True)
+                m_new = jnp.where(rowb[:, :, :1], mb, m_new)
+                s_new = jnp.where(rowb[:, :, :1], sb_sum, s_new)
+                acc_new = jnp.where(rowb[:, :, :1], ab, acc_new)
+            return m_new, s_new, acc_new
 
-    # unpack back to packed lanes [B, dq] via scratch-ref lane slices
-    for j in range(HKV):
-        for c in range(rep):
-            h = j * rep + c
-            ctx_sc[:, h * DH:(h + 1) * DH] = \
-                ctx3[j, c * BP:(c + 1) * BP].astype(jnp.float32)
-    ctx = ctx_sc[...]
+        rB = rep * BP
+        m0 = jnp.full((HKV, rB, 1), NEG_INF, jnp.float32)
+        s0 = jnp.zeros((HKV, rB, 1), jnp.float32)
+        a0 = jnp.zeros((HKV, rB, DH), jnp.float32)
+        m, s_sum, acc = jax.lax.fori_loop(0, n_chunks, chunk_body,
+                                          (m0, s0, a0))
 
-    wdma(1, l).wait()
-    x = x + qmm(ctx.astype(jnp.bfloat16), wo_buf, wo_s, l)
+        # current token column (always valid, self-attention).  Row c*B + b
+        # of q3 pairs with kn3 row b; select via a row%B == col mask on the
+        # full [rB, B] score block (Mosaic has no tiny-sublane concat/tile).
+        kn3 = kn3_sc[...].astype(jnp.float32)            # [HKV, B, DH]
+        vn3 = vn3_sc[...].astype(jnp.float32)
+        sc_all = jax.lax.dot_general(
+            q3, kn3, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [HKV, rB, B]
+        rowm = jax.lax.broadcasted_iota(jnp.int32, sc_all.shape, 1) % BP
+        colm = jax.lax.broadcasted_iota(jnp.int32, sc_all.shape, 2)
+        sel = rowm == colm
+        s_cur = jnp.sum(jnp.where(sel, sc_all, 0.0), axis=2,
+                        keepdims=True)                   # [HKV, rB, 1]
+        m_f = jnp.maximum(m, s_cur)
+        alpha = jnp.exp(m - m_f)
+        p_cur = jnp.exp(s_cur - m_f)
+        pv = jax.lax.dot_general(
+            jnp.where(sel, p_cur, 0.0), vn3, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [HKV, rB, DH]
+        acc = acc * alpha + pv
+        s_sum = s_sum * alpha + p_cur
+        ctx3 = acc / jnp.maximum(s_sum, 1e-30)           # [HKV, rB, DH]
 
-    @pl.when(l + 1 < L)
-    def _():
-        wdma(1, l + 1).start()
+        # unpack back to packed lanes [B, dq] via scratch-ref lane slices
+        for j in range(HKV):
+            for c in range(rep):
+                h = j * rep + c
+                ctx_sc[:, h * DH:(h + 1) * DH] = \
+                    ctx3[j, c * BP:(c + 1) * BP].astype(jnp.float32)
+        ctx = ctx_sc[...]
 
-    # ---- SwiGLU MLP
-    wdma(2, l).wait()
-    hn2 = _rms(x, ln2_ref[l], EPS).astype(jnp.bfloat16)
-    gup = qmm(hn2, gu_buf, gu_s, l)
+        wdma(1, l).wait()
+        x = x + qmm(ctx.astype(jnp.bfloat16), wo_buf, wo_s, l, li)
 
-    @pl.when(l + 1 < L)
-    def _():
-        wdma(2, l + 1).start()
+        @pl.when(l + 1 < L)
+        def _():
+            wdma(1, l + 1).start()
 
-    f_half = gup.shape[-1] // 2
-    gf = gup[:, :f_half].astype(jnp.float32)
-    ff = (gf * jax.nn.sigmoid(gf)).astype(jnp.bfloat16) * gup[:, f_half:]
-    wdma(3, l).wait()
-    x = x + qmm(ff, dn_buf, dn_s, l)
+        # ---- SwiGLU MLP
+        wdma(2, l).wait()
+        hn2 = _rms(x, ln2_ref[l], EPS).astype(jnp.bfloat16)
+        gup = qmm(hn2, gu_buf, gu_s, l, li)
 
-    @pl.when(l + 1 < L)
-    def _():
-        wdma(3, l + 1).start()
+        @pl.when(l + 1 < L)
+        def _():
+            wdma(2, l + 1).start()
 
+        f_half = gup.shape[-1] // 2
+        gf = gup[:, :f_half].astype(jnp.float32)
+        ff = (gf * jax.nn.sigmoid(gf)).astype(jnp.bfloat16) * gup[:, f_half:]
+        wdma(3, l).wait()
+        x = x + qmm(ff, dn_buf, dn_s, l, li)
+
+        @pl.when(l + 1 < L)
+        def _():
+            wdma(3, l + 1).start()
+        return x
+
+    x = jax.lax.fori_loop(0, lps, layer_iter, x_sc[...])
     x_sc[...] = x
 
-    @pl.when(l == L - 1)
+    @pl.when(g == (L // lps) - 1)
     def _():
         out_ref[...] = x
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg_static", "interpret", "wmode"))
+                   static_argnames=("cfg_static", "interpret", "wmode",
+                                    "lps"))
 def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
-          cfg_static, interpret=False, wmode="int8"):
+          cfg_static, interpret=False, wmode="int8", lps=1):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
     rep = H // HKV
     dq = H * DH
@@ -379,20 +396,21 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
     wdt = layer_w["wqkv_q"].dtype        # int8 or bf16 (pre-dequantized)
     vmem_limit = (110 if wdt == jnp.int8 else 126) * 1024 * 1024
     if wmode == "w4a8":
-        # [L, K/G, N] grouped scales stream one layer's block per grid step
+        # [L, K/G, N] grouped scales stream lps layers' blocks per grid step
         scale_spec = lambda arr: pl.BlockSpec(
-            (1,) + arr.shape[1:], lambda l, *_: (l, 0, 0),
+            (lps,) + arr.shape[1:], lambda g, *_: (g, 0, 0),
             memory_space=pltpu.VMEM)
     else:
         # [L, N] per-output-channel rows, whole array VMEM-resident
         scale_spec = lambda arr: fixed(arr.shape)
 
-    kernel = functools.partial(_kernel, cfg_static=cfg_static, wmode=wmode)
+    kernel = functools.partial(_kernel, cfg_static=cfg_static, wmode=wmode,
+                               lps=lps)
     out, k_tok, v_tok = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(L,),
+            grid=(L // lps,),
             in_specs=[
                 fixed((BP, D)),                           # x0 bf16
                 fixed((BP, dq)),                          # cos (lane-tiled)
@@ -412,9 +430,9 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
             ],
             out_specs=[
                 fixed((BP, D)),
-                pl.BlockSpec((1, HKV, BP, DH), lambda l, *_: (l, 0, 0, 0),
+                pl.BlockSpec((lps, HKV, BP, DH), lambda g, *_: (g, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, HKV, BP, DH), lambda l, *_: (l, 0, 0, 0),
+                pl.BlockSpec((lps, HKV, BP, DH), lambda g, *_: (g, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
@@ -583,9 +601,25 @@ def supported(cfg, batch: int, weights: str = "int8") -> bool:
     return ok
 
 
+def layers_per_step(n_layers: int) -> int:
+    """Layers per grid step (QTTS_TALKER_LPS, default 1).  lps > 1 runs
+    several layers inside one grid iteration via lax.fori_loop — same ops,
+    same single-slot weight-DMA chaining, fewer Mosaic grid-iteration
+    fixed costs (the predictor kernel's grid 96 -> 16 restructure measured
+    this overhead as its dominant term).  Must divide n_layers; invalid
+    values fall back to 1."""
+    import os
+    try:
+        v = int(os.environ.get("QTTS_TALKER_LPS", "1"))
+    except ValueError:
+        v = 1
+    return v if v >= 1 and n_layers % v == 0 else 1
+
+
 def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
                       lengths, write_idx, prompt_cap: int,
                       interpret: bool = False, weights: str = "int8",
+                      lps: Optional[int] = None,
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step over all layers.
 
@@ -619,7 +653,11 @@ def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
     layer_w = params.get("fused_" + weights)
     if layer_w is None:
         layer_w = prep_layer_weights(cfg, params, weights=weights)
+    if lps is None:
+        lps = layers_per_step(L)
+    elif L % lps != 0:
+        lps = 1
     return _call(x, cos_t.astype(jnp.float32),
                  sin_t.astype(jnp.float32), layer_w, cache_k, cache_v,
                  lengths, write_idx, cfg_static=cfg_static,
-                 interpret=interpret, wmode=weights)
+                 interpret=interpret, wmode=weights, lps=lps)

@@ -179,3 +179,59 @@ def test_kernel_weight_modes_match_xla(setup, mode, tol):
     got = np.asarray(hidden, np.float32)
     err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6)
     assert err < tol, f"{mode}: rel err {err}"
+
+
+@pytest.mark.parametrize("mode", ["int8", "w8a8", "w4a8"])
+def test_kernel_lps_matches_lps1(setup, mode):
+    """layers-per-grid-step > 1 (fori_loop inside the body) must reproduce
+    the one-layer-per-step schedule exactly — same ops, same single-slot
+    DMA chaining, only the grid/loop boundary moves."""
+    cfg, params = setup
+    b = 2
+    lengths = [200, 512]
+    cache = _cache_with_history(cfg, b, lengths, 3, jax.random.PRNGKey(7))
+    x = jax.random.normal(jax.random.PRNGKey(8), (b, cfg.d_model),
+                          jnp.float32) * 0.3
+    pos = PCAP + 3
+    cos, sin = _rope(cfg, pos, b)
+
+    outs = {}
+    for lps in (1, 2):
+        outs[lps] = talker_step_fused(
+            cfg, params, x.astype(jnp.bfloat16), cos[:, 0], sin[:, 0],
+            cache.k, cache.v, cache.lengths, jnp.int32(pos), PCAP,
+            interpret=True, weights=mode, lps=lps)
+    for a, ref in zip(outs[2], outs[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(ref))
+
+
+def test_kernel_lps_four_layers():
+    """lps=2 over 4 layers (grid=2): the fori boundary falls mid-stack and
+    the weight-DMA chaining crosses it."""
+    cfg = TalkerConfig(d_model=256, n_layers=4, n_heads=2, n_kv_heads=1,
+                       head_dim=128, d_ff=256,
+                       mrope_sections=(24, 20, 20, 0), dtype="bfloat16")
+    params = transformer.init_decoder_params(cfg, jax.random.PRNGKey(1))
+    params["layers"] = Q.quantize_decoder_layers(params["layers"])
+    b = 2
+    cache = _cache_with_history(cfg, b, [128, 512], 2, jax.random.PRNGKey(9))
+    x = jax.random.normal(jax.random.PRNGKey(10), (b, cfg.d_model),
+                          jnp.float32) * 0.3
+    pos = PCAP + 2
+    cos, sin = _rope(cfg, pos, b)
+    ref = talker_step_fused(
+        cfg, params, x.astype(jnp.bfloat16), cos[:, 0], sin[:, 0],
+        cache.k, cache.v, cache.lengths, jnp.int32(pos), PCAP,
+        interpret=True, weights="w4a8", lps=1)
+    got = talker_step_fused(
+        cfg, params, x.astype(jnp.bfloat16), cos[:, 0], sin[:, 0],
+        cache.k, cache.v, cache.lengths, jnp.int32(pos), PCAP,
+        interpret=True, weights="w4a8", lps=2)
+    for a, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+    # invalid lps falls back to 1 (identical to ref)
+    fb = talker_step_fused(
+        cfg, params, x.astype(jnp.bfloat16), cos[:, 0], sin[:, 0],
+        cache.k, cache.v, cache.lengths, jnp.int32(pos), PCAP,
+        interpret=True, weights="w4a8", lps=3)
+    np.testing.assert_array_equal(np.asarray(fb[0]), np.asarray(ref[0]))
