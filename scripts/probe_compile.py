@@ -68,8 +68,9 @@ def main() -> None:
     need = PCAP + cfg.runtime.max_steps + cfg.runtime.frames_per_chunk
     CAP = ((need + 511) // 512) * 512
 
+    from qwen3_tts_tpu.kernels.talker_step import layers_per_step
     log(f"stage={stage} weights={wmode} backend={jax.default_backend()} "
-        f"B={B} PCAP={PCAP} CAP={CAP}")
+        f"B={B} PCAP={PCAP} CAP={CAP} lps={layers_per_step(28)}")
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -138,7 +139,8 @@ def main() -> None:
                 h, kc, vc = ts._call(
                     xx_p, cos_t.astype(jnp.float32),
                     sin_t.astype(jnp.float32), layer_w, kc, vc,
-                    lengths, pos, cfg_static=cfg_static, wmode=wmode)
+                    lengths, pos, cfg_static=cfg_static, wmode=wmode,
+                    lps=ts.layers_per_step(tcfg.n_layers))
                 return (h.astype(jnp.float32), kc, vc, pos + 1), h[0, 0]
             (xx, kc, vc, pos), ys = jax.lax.scan(
                 body, (x0, k_cache, v_cache, jnp.int32(PCAP)), None,
