@@ -602,18 +602,30 @@ def supported(cfg, batch: int, weights: str = "int8") -> bool:
 
 
 def layers_per_step(n_layers: int) -> int:
-    """Layers per grid step (QTTS_TALKER_LPS, default 1).  lps > 1 runs
-    several layers inside one grid iteration via lax.fori_loop — same ops,
-    same single-slot weight-DMA chaining, fewer Mosaic grid-iteration
-    fixed costs (the predictor kernel's grid 96 -> 16 restructure measured
-    this overhead as its dominant term).  Must divide n_layers; invalid
-    values fall back to 1."""
+    """Layers per grid step (QTTS_TALKER_LPS).  lps > 1 runs several
+    layers inside one grid iteration via lax.fori_loop — same ops, same
+    single-slot weight-DMA chaining, fewer Mosaic grid-iteration fixed
+    costs (the predictor kernel's grid 96 -> 16 restructure measured this
+    overhead as its dominant term).  Must divide n_layers; invalid values
+    fall back to 1.
+
+    Default (env unset): the largest divisor of n_layers <= 7.  The v5e
+    sweep (DESIGN §10: scan64 warm, w4a8, 28 layers) measured lps
+    1/2/4/7/14/28 -> 126/121/121/122/124/123 ms — lps 2-7 tie ~3-4%
+    ahead of lps=1, and lps=7 also compiles 8x faster (14.2 s vs
+    115 s), so 7 is the production point for the 28-layer talker."""
     import os
-    try:
-        v = int(os.environ.get("QTTS_TALKER_LPS", "1"))
-    except ValueError:
-        v = 1
-    return v if v >= 1 and n_layers % v == 0 else 1
+    raw = os.environ.get("QTTS_TALKER_LPS")
+    if raw is not None:
+        try:
+            v = int(raw)
+        except ValueError:
+            v = 1
+        return v if v >= 1 and n_layers % v == 0 else 1
+    for v in (7, 6, 5, 4, 3, 2):
+        if n_layers % v == 0:
+            return v
+    return 1
 
 
 def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,

@@ -23,7 +23,7 @@ def make(mode):
         return gen.prefill(cfg, tp, embeds, lengths, key)
     return f
 
-for b in (1, 8, 32):
+for b in (1, 8, 32, 48, 96):
     embeds = jax.random.normal(k5, (b, PCAP, cfg.talker.d_model), jnp.float32) * 0.02
     lengths = jnp.full((b,), PCAP, jnp.int32)
     row = [f"b={b}:"]
