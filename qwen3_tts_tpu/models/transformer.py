@@ -174,6 +174,22 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     mm = (_mm_a8 if s > 1 and a8
           and _os.environ.get("QTTS_A8_PREFILL", "1") != "0" else _mm)
 
+    # Carry-KV prefill: same restructure as _decode_step_carry, for the
+    # s > 1 case — the stacked cache threads through the scan carry
+    # (in-place S-row dynamic_update_slice per layer; attention reads
+    # only the [0, attn_win) window slice) instead of riding xs/ys.
+    # Measured (v5e, a8, CAP=1024): b=32 87 vs 90 ms, b=48 parity —
+    # XLA largely elides the ys restack in prefill (unlike decode,
+    # where the carry rework was 2.3x at batch 32) — but the carry
+    # form halves peak cache memory (no input+ys-stack double
+    # residency), which is what bounds lanes/chip at big batch.
+    # Outputs match the xs/ys path to fp32 fusion-rounding noise
+    # (~2e-6, tests/test_models.py::test_prefill_carry_parity).
+    # QTTS_CARRY_KV=0 restores xs/ys plumbing for prefill AND decode.
+    if s > 1 and _os.environ.get("QTTS_CARRY_KV", "1") != "0":
+        return _prefill_carry(cfg, params, x, cos, sin, cache, prompt_cap,
+                              write_at, attn_win, mask, mm)
+
     def layer_fn(carry, layer):
         xx = carry
         p, k_cache, v_cache = layer
@@ -212,6 +228,97 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     hidden = rms_norm(x, params["final_norm"], cfg.rms_eps)
     new_cache = cache.replace(k=new_k, v=new_v,
                               write_idx=start + jnp.int32(s))
+    return hidden, new_cache
+
+
+def _prefill_carry(cfg, params: Dict[str, Any], x: jnp.ndarray,
+                   cos: jnp.ndarray, sin: jnp.ndarray, cache: KVCache,
+                   prompt_cap: int, write_at, attn_win: int, mask,
+                   mm) -> Tuple[jnp.ndarray, KVCache]:
+    """Multi-token prefill with the stacked KV cache as a scan CARRY.
+
+    Mirror of `_decode_step_carry` for S > 1: the [L, B, Hkv, C, Dh]
+    cache threads through the layer scan's carry (XLA aliases loop
+    carries in place), each layer appends its S rows with one
+    dynamic_update_slice (scalar cursor — fresh prefill) or a per-lane
+    scatter (suffix prefill continuing a prefix at per-lane offsets),
+    and attention reads only the [0, attn_win) window of the current
+    layer.  Versus the xs/ys scan this removes a full-capacity restack
+    of k and v per layer: at 96 lanes x capacity 1024 that is ~11 GB of
+    HBM copies per prefill — measured, though, XLA already elides most
+    of it (b=32: 87 vs 90 ms; b=48 parity), so the carry form's real
+    value is halved peak cache residency (input + ys stack never
+    co-exist) and plumbing symmetry with _decode_step_carry.  Ops and
+    order are identical to the xs/ys path; outputs agree to fp32
+    fusion-rounding noise (~2e-6)."""
+    b, s, d = x.shape
+    h, hkv, dh = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    L = cfg.n_layers
+    scalar_cursor = jnp.ndim(write_at) == 0
+    if not scalar_cursor:
+        write_vec = jnp.asarray(write_at, jnp.int32)
+        bi = jnp.arange(b)[:, None]                        # [B, 1]
+        slots = write_vec[:, None] + jnp.arange(s)[None, :]  # [B, S]
+
+    # Flash prefill attention (kernels/flash_prefill): scores never touch
+    # HBM and causally-dead K/V chunks are skipped — measured 16 ms of the
+    # 90 ms b=32 prefill was XLA's materialized-scores attention.
+    from ..kernels.flash_prefill import flash_gqa_prefill_stacked
+    from ..kernels.flash_prefill import supported as _fp_supported
+    from ..kernels.flash_prefill import use_flash_prefill
+    flash_ok = (use_flash_prefill()
+                and _fp_supported(s, attn_win, h, hkv, dh)
+                and attn_win <= cache.capacity)
+
+    def layer_fn(carry, inputs):
+        xx, k_all, v_all = carry
+        l, p = inputs
+        hn = rms_norm(xx, p["ln1"], cfg.rms_eps)
+        qkv = mm(hn, p["wqkv"])
+        q = qkv[..., : h * dh].reshape(b, s, h, dh)
+        kk = qkv[..., h * dh: (h + hkv) * dh].reshape(b, s, hkv, dh)
+        vv = qkv[..., (h + hkv) * dh:].reshape(b, s, hkv, dh)
+        if cfg.qk_norm:
+            q = rms_norm(q, p["q_norm"], cfg.rms_eps)
+            kk = rms_norm(kk, p["k_norm"], cfg.rms_eps)
+        q = _rope(q, cos, sin)
+        kk = _rope(kk, cos, sin)
+        if scalar_cursor:
+            k_new = jnp.swapaxes(kk, 1, 2).astype(k_all.dtype)  # [B,Hkv,S,Dh]
+            v_new = jnp.swapaxes(vv, 1, 2).astype(v_all.dtype)
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k_new[None], (l, 0, 0, write_at, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v_new[None], (l, 0, 0, write_at, 0))
+        else:
+            # advanced-index scatter: value layout [B, S, Hkv, Dh] = kk
+            k_all = k_all.at[l, bi, :, slots, :].set(kk.astype(k_all.dtype))
+            v_all = v_all.at[l, bi, :, slots, :].set(vv.astype(v_all.dtype))
+        if flash_ok:
+            attn = flash_gqa_prefill_stacked(
+                q, k_all, v_all, cache.lengths, write_at, l, prompt_cap,
+                attn_win).reshape(b, s, h * dh)
+        else:
+            k_win = jax.lax.dynamic_slice(
+                k_all, (l, 0, 0, 0, 0), (1, b, hkv, attn_win, dh))[0]
+            v_win = jax.lax.dynamic_slice(
+                v_all, (l, 0, 0, 0, 0), (1, b, hkv, attn_win, dh))[0]
+            attn = gqa_attend(q, k_win, v_win, mask).reshape(b, s, h * dh)
+        xx = xx + mm(attn, p["wo"])
+        hn = rms_norm(xx, p["ln2"], cfg.rms_eps)
+        gu = mm(hn, p["w_gate_up"])
+        f_half = gu.shape[-1] // 2
+        ff = jax.nn.silu(gu[..., :f_half]) * gu[..., f_half:]
+        xx = xx + mm(ff, p["w_down"])
+        return (xx, k_all, v_all), None
+
+    (x, new_k, new_v), _ = jax.lax.scan(
+        layer_fn, (x, cache.k, cache.v),
+        (jnp.arange(L, dtype=jnp.int32), params["layers"]),
+        unroll=getattr(cfg, "layer_scan_unroll", 1))
+    hidden = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    new_cache = cache.replace(k=new_k, v=new_v,
+                              write_idx=cache.write_idx + jnp.int32(s))
     return hidden, new_cache
 
 

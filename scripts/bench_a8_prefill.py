@@ -27,6 +27,7 @@ for b in (1, 8, 32, 48, 96):
     embeds = jax.random.normal(k5, (b, PCAP, cfg.talker.d_model), jnp.float32) * 0.02
     lengths = jnp.full((b,), PCAP, jnp.int32)
     row = [f"b={b}:"]
+    st = None
     for mode, name in (("0", "deq"), ("1", "a8")):
         f = make(mode)
         st = f(tp, embeds, lengths, jax.random.PRNGKey(0)); hard_sync(st.logits)

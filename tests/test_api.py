@@ -36,7 +36,7 @@ def test_tts_endpoint(server):
         data=json.dumps({"text": "server test", "speaker": "vivian",
                          "seed": 5, "max_steps": 4}).encode(),
         headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=120) as r:
+    with urllib.request.urlopen(req, timeout=300) as r:
         assert r.headers["Content-Type"] == "audio/wav"
         rtf = r.headers.get("X-QTTS-RTF")
         data = r.read()
@@ -52,7 +52,7 @@ def test_tts_stream_endpoint(server):
         data=json.dumps({"text": "stream", "seed": 2,
                          "max_steps": 4}).encode(),
         headers={"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=120) as r:
+    with urllib.request.urlopen(req, timeout=300) as r:
         assert r.headers["Content-Type"].startswith("audio/L16")
         pcm = r.read()  # urllib de-chunks transfer-encoding
     samples = np.frombuffer(pcm, np.int16)

@@ -144,3 +144,80 @@ def test_generated_slot_prefill_attends_own_rows():
         prompt_cap=0)
     assert np.abs(np.asarray(h_swap[:, -1]) -
                   np.asarray(h_pre[:, -1])).max() > 1e-4
+
+
+def _fwd_with_carry(monkeypatch_env, cfg, params, x, cos, sin, cache,
+                    prompt_cap, uniform_cursor=True):
+    import os
+    old = os.environ.get("QTTS_CARRY_KV")
+    os.environ["QTTS_CARRY_KV"] = monkeypatch_env
+    try:
+        return transformer.decoder_forward(
+            cfg, params, x, cos, sin, cache, prompt_cap=prompt_cap,
+            uniform_cursor=uniform_cursor, a8=False)
+    finally:
+        if old is None:
+            os.environ.pop("QTTS_CARRY_KV", None)
+        else:
+            os.environ["QTTS_CARRY_KV"] = old
+
+
+def test_prefill_carry_parity(talker):
+    """Carry-KV prefill (stacked cache through the scan carry) must match
+    the xs/ys layer scan to fp32 rounding noise (same ops and order; XLA
+    may fuse the two plumbings differently, so exact bit-equality is not
+    guaranteed — observed max |diff| ~2e-6)."""
+    cfg, params = talker
+    from qwen3_tts_tpu.models.talker import _rope_tables
+    b, s = 3, 10
+    x = (jax.random.normal(jax.random.PRNGKey(20), (b, s, cfg.d_model))
+         * 0.3).astype(jnp.dtype(cfg.dtype))
+    pos = jnp.arange(s, dtype=jnp.int32)[None, :].repeat(b, 0)
+    pos4 = jnp.stack([pos, pos, pos, jnp.zeros_like(pos)], axis=-1)
+    cos, sin = _rope_tables(cfg, pos4)
+    lengths = jnp.asarray([10, 6, 3], jnp.int32)
+
+    outs = {}
+    for env in ("0", "1"):
+        cache = talker_lib.init_talker_cache(cfg, b, s + 16)
+        cache = cache.replace(lengths=lengths)
+        outs[env] = _fwd_with_carry(env, cfg, params, x, cos, sin, cache,
+                                    prompt_cap=s)
+    h0, c0 = outs["0"]
+    h1, c1 = outs["1"]
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c1.k, np.float32),
+                               np.asarray(c0.k, np.float32), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c1.v, np.float32),
+                               np.asarray(c0.v, np.float32), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(c1.write_idx),
+                                  np.asarray(c0.write_idx))
+
+
+def test_prefill_carry_parity_per_lane_cursor(talker):
+    """Per-lane-cursor multi-row prefill (uniform_cursor=False): the carry
+    path's scatter write must match the xs/ys path's vmapped
+    dynamic_update_slice for in-bounds cursors."""
+    cfg, params = talker
+    from qwen3_tts_tpu.models.talker import _rope_tables
+    b, s, cap = 2, 4, 24
+    x = (jax.random.normal(jax.random.PRNGKey(21), (b, s, cfg.d_model))
+         * 0.3).astype(jnp.dtype(cfg.dtype))
+    starts = jnp.asarray([2, 5], jnp.int32)
+    pos = starts[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+    pos4 = jnp.stack([pos, pos, pos, jnp.zeros_like(pos)], axis=-1)
+    cos, sin = _rope_tables(cfg, pos4)
+
+    outs = {}
+    for env in ("0", "1"):
+        cache = talker_lib.init_talker_cache(cfg, b, cap)
+        cache = cache.replace(lengths=starts + s, write_idx=starts)
+        outs[env] = _fwd_with_carry(env, cfg, params, x, cos, sin, cache,
+                                    prompt_cap=s + 8, uniform_cursor=False)
+    h0, c0 = outs["0"]
+    h1, c1 = outs["1"]
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h0), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c1.k, np.float32),
+                               np.asarray(c0.k, np.float32), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c1.v, np.float32),
+                               np.asarray(c0.v, np.float32), atol=2e-5)
