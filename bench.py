@@ -152,6 +152,29 @@ def main() -> None:
         "partial": "batch sweep pending",
         "baseline_rtf": BASELINE_RTF}), flush=True)
 
+    # Voice-clone prompt prefill (4096-row bucket, b=1): the flash
+    # prefill kernel's headline case (DESIGN "Prefill anatomy":
+    # 211.8 -> 108.0 ms vs the XLA attention path).  Guarded: a failure
+    # here must not kill the batch sweep.
+    clone_prefill_ms = None
+    try:
+        e4 = jax.random.normal(k5, (1, 4096, cfg.talker.d_model),
+                               jnp.float32) * 0.02
+        l4 = jnp.full((1,), 4096, jnp.int32)
+
+        def clone_once(seed: int):
+            t0 = time.perf_counter()
+            st = generator.start(e4, l4, jax.random.PRNGKey(seed))
+            hard_sync(st.logits)
+            return time.perf_counter() - t0
+
+        clone_once(0)
+        clone_prefill_ms = round(min(clone_once(s) for s in (1, 2, 3)) * 1e3,
+                                 1)
+    except Exception as e:
+        print(json.dumps({"metric": "clone_prefill", "error": str(e)[:200]}),
+              flush=True)
+
     # Multi-stream serving, MEASURED at each batch size (no extrapolation —
     # round-1 reported batch-8 throughput scaled linearly, which overstates
     # at saturation).  streams@RTF<1 = the largest measured batch whose
@@ -267,6 +290,7 @@ def main() -> None:
         "streams_at_rtf_lt_1_measured": streams_rt,
         "batch_rtf_per_stream": batch_rtf,
         "batch_ttft_ms": batch_ttft_ms,
+        "clone_prefill_ms_4096": clone_prefill_ms,
         "baseline_rtf": BASELINE_RTF,
     }))
 

@@ -55,6 +55,37 @@ def main():
             "frames_per_s": round(frames / dt, 1),
             "audio_s_per_s": round(frames / 12.0 / dt, 2)}))
 
+    # Saturated-queue TTFT distribution: 96 requests on 32 lanes.
+    # Measured on the axon tunnel this is NOT the way to serve a cold
+    # 96-stream burst: the chunked scheduler is host-dispatch-bound
+    # (~64 frames/s vs ~1900 frames/s for the one-program bulk batch-96
+    # path), so queued requests see multi-second TTFT (p50 ~23 s) while
+    # the fused 96-lane start gives EVERYONE ~380 ms.  Use big fused
+    # waves for bursts; continuous admission is for ragged arrivals.
+    # The scheduler's per-chunk host round-trips (per-lane codec finals,
+    # refill prefills) are the round-4 fix if low-latency transports
+    # ever stop being the deployment default.
+    reqs96 = [BatchRequest(f"stream {i}", voice,
+                           max_frames=(i % 3) * 16 + 32)   # 32/48/64
+              for i in range(96)]
+    batcher = ContinuousBatcher(eng, batch_size=32)
+    batcher.run(reqs96[:32])   # warm/compile the 32-lane programs
+    t0 = time.perf_counter()
+    results = batcher.run(reqs96)
+    dt = time.perf_counter() - t0
+    frames = sum(r.frames for r in results)
+    ttfts = sorted(r.ttft_ms for r in results if r.ttft_ms is not None)
+    pct = (lambda q: ttfts[min(len(ttfts) - 1,
+                               int(q * (len(ttfts) - 1)))]) if ttfts else \
+        (lambda q: None)
+    print(json.dumps({
+        "scheduler": "continuous-96on32", "wall_s": round(dt, 3),
+        "frames": frames, "frames_per_s": round(frames / dt, 1),
+        "audio_s_per_s": round(frames / 12.0 / dt, 2),
+        "ttft_ms_p50": pct(0.5), "ttft_ms_p90": pct(0.9),
+        "ttft_ms_max": ttfts[-1] if ttfts else None,
+        "n_with_ttft": len(ttfts)}))
+
 
 if __name__ == "__main__":
     main()

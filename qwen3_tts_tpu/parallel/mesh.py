@@ -43,15 +43,27 @@ def make_mesh(n_data: int = 1, n_model: int = 1,
 def decoder_param_specs() -> Dict[str, Any]:
     """PartitionSpecs for the stacked decoder layer tree (talker/predictor).
 
-    Column-parallel: wq/wk/wv/w_gate/w_up (output features sharded over
-    "model"); row-parallel: wo/w_down (input features sharded) — the standard
-    Megatron split, expressed declaratively."""
+    All four projection weights shard their CONTRACTION dim over "model"
+    (row-parallel / 1D weight-stationary): each shard computes a partial
+    matmul over its slice of the input features and XLA inserts one psum
+    per projection.  Weight memory and matmul FLOPs scale 1/n_model, the
+    KV cache stays head-sharded (kv_cache_spec), and — decisive — every
+    sharded op is reshard-free.  The earlier Megatron column split of
+    the FUSED wqkv / w_gate_up tensors sliced across the q|k|v and
+    gate|up concatenation boundaries, so the in-layer slices forced XLA
+    to insert cross-shard collective-permutes inside the layer scan;
+    jax 0.8's CPU collective runtime deadlocks on that pattern (8-way
+    rendezvous inside a while thunk), and on real meshes it is extra
+    ICI traffic per layer either way.  Head-aligned column parallelism
+    would need unfused per-head weights — a layout change the decode
+    megakernels also key on; revisit if TP beyond 2-4 chips makes the
+    extra psums (4/layer vs Megatron's 2) matter."""
     return {
         "ln1": P(), "ln2": P(),
-        "wqkv": P(None, None, MODEL_AXIS),
+        "wqkv": P(None, MODEL_AXIS, None),
         "wo": P(None, MODEL_AXIS, None),
         "q_norm": P(), "k_norm": P(),
-        "w_gate_up": P(None, None, MODEL_AXIS),
+        "w_gate_up": P(None, MODEL_AXIS, None),
         "w_down": P(None, MODEL_AXIS, None),
     }
 

@@ -48,6 +48,11 @@ class BatchResult:
     audio: AudioSample
     frames: int
     eos: bool
+    # Wall-clock ms from scheduler start to this request's FIRST audio
+    # chunk (continuous batching fills it; wave scheduling's bulk path
+    # reports wave completion — audio is not incremental there).  None
+    # when the scheduler doesn't track it.
+    ttft_ms: Optional[float] = None
 
 
 class BatchSynthesizer:

@@ -46,6 +46,8 @@ class ContinuousBatcher:
 
     def run(self, requests: Sequence[BatchRequest]) -> List[BatchResult]:
         results: List[Optional[BatchResult]] = [None] * len(requests)
+        self._t0 = time.perf_counter()     # TTFT reference for this queue
+        self._ttft = {}                    # request index -> ms of first audio
         eng = self.engine
         # Bucket routing: group requests by prompt bucket so a short prompt
         # never pays a long prompt's prefill padding (round-1 known gap:
@@ -136,6 +138,9 @@ class ContinuousBatcher:
                 hit_eos = bool(eos_now[lane])
                 budget = requests[req].max_frames or self.max_frames
                 if k > 0:
+                    if req not in self._ttft:
+                        self._ttft[req] = round(
+                            (time.perf_counter() - self._t0) * 1e3, 1)
                     wavs[req].append(samples_all[lane])
                     frames[req] += k
                 out_of_budget = frames[req] >= budget
@@ -145,7 +150,8 @@ class ContinuousBatcher:
                     results[req] = BatchResult(
                         audio=AudioSample(samples.astype(np.float32),
                                           P_.SAMPLE_RATE, 1),
-                        frames=frames[req], eos=hit_eos)
+                        frames=frames[req], eos=hit_eos,
+                        ttft_ms=self._ttft.get(req))
                     lane_req[lane] = None
                     if not hit_eos:
                         state = set_done(state, lane)
@@ -172,5 +178,6 @@ class ContinuousBatcher:
             results[req] = BatchResult(
                 audio=AudioSample(samples.astype(np.float32),
                                   P_.SAMPLE_RATE, 1),
-                frames=frames[req], eos=False)
+                frames=frames[req], eos=False,
+                ttft_ms=self._ttft.get(req))
         return queue
