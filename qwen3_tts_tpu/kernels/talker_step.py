@@ -154,7 +154,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
             x_sc, k_sc, v_sc, q3_sc, kn3_sc, vn3_sc, ctx_sc,
             wqkv_buf, wo_buf, gu_buf, dn_buf,
             kv_sems, wsems,
-            *, cfg_static, wmode="int8", lps=1):
+            *, cfg_static, wmode="int8", lps=1, ablate=None):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
     w8a8 = wmode == "w8a8"
 
@@ -180,7 +180,8 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
     @pl.when(g == 0)
     def _():
         x_sc[...] = x0_ref[...]
-        for w in range(4):
+        nw = {"mlp_nodma": 2, "min": 0}.get(ablate, 4)
+        for w in range(nw):
             wdma(w, 0).start()
 
     def layer_iter(li, x):
@@ -189,6 +190,37 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
         one-layer-per-grid-step schedule — the single-slot DMA pipeline
         does not care where the grid/loop boundary falls."""
         l = g * lps + li
+        if ablate == "min":      # timing probe: bare grid/loop machinery
+            return x
+
+        def _mlp_tail(x, l, li):
+            # ---- SwiGLU MLP (ablate == "mlp" keeps the gu/dn weight
+            # streams chained but skips the compute; "mlp_nodma" removes
+            # the gu/dn streams entirely — timing probes only)
+            if ablate == "mlp_nodma":
+                return x
+            wdma(2, l).wait()
+            if ablate != "mlp":
+                hn2 = _rms(x, ln2_ref[l], EPS).astype(jnp.bfloat16)
+                gup = qmm(hn2, gu_buf, gu_s, l, li)
+
+            @pl.when(l + 1 < L)
+            def _():
+                wdma(2, l + 1).start()
+
+            if ablate != "mlp":
+                f_half = gup.shape[-1] // 2
+                gf = gup[:, :f_half].astype(jnp.float32)
+                ff = (gf * jax.nn.sigmoid(gf)).astype(jnp.bfloat16) \
+                    * gup[:, f_half:]
+            wdma(3, l).wait()
+            if ablate != "mlp":
+                x = x + qmm(ff, dn_buf, dn_s, l, li)
+
+            @pl.when(l + 1 < L)
+            def _():
+                wdma(3, l + 1).start()
+            return x
 
         # ---- qkv
         wdma(0, l).wait()
@@ -231,6 +263,11 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
         v_tok_ref[li] = vn3_sc[...]
 
         # ---- flash attention over the live prefix, chunked+double-buffered
+        # QTTS_TALKER_ABLATE (timing probes ONLY — output is wrong):
+        #   "attn"          skip KV DMAs + flash loop + ctx (ctx = 0)
+        #   "attn_keepdma"  run the KV DMA chain, skip attention compute
+        #   "mlp"           keep gu/dn weight streams, skip MLP compute
+        # Attribution of the stream-independent step floor (DESIGN §11).
         q3 = q3_sc[...].astype(jnp.float32) * (DH ** -0.5)  # [HKV, rB, DH]
 
         def kv_dma(slot, ci, b):
@@ -241,6 +278,39 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
                     pltpu.make_async_copy(
                         v_hbm.at[l, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
                         v_sc.at[slot, b], kv_sems.at[slot, b, 1]))
+
+        if ablate in ("attn", "attn_keepdma"):
+            if ablate == "attn_keepdma":
+                @pl.when(n_chunks > 0)
+                def _():
+                    for b in range(B):
+                        for dma in kv_dma(0, 0, b):
+                            dma.start()
+
+                def dma_body(ci, carry):
+                    slot = jax.lax.rem(ci, 2)
+                    nslot = jax.lax.rem(ci + 1, 2)
+
+                    @pl.when(ci + 1 < n_chunks)
+                    def _():
+                        for b in range(B):
+                            for dma in kv_dma(nslot, ci + 1, b):
+                                dma.start()
+                    for b in range(B):
+                        for dma in kv_dma(slot, ci, b):
+                            dma.wait()
+                    return carry
+
+                jax.lax.fori_loop(0, n_chunks, dma_body, jnp.int32(0))
+            ctx_sc[...] = jnp.zeros_like(ctx_sc)
+            ctx = ctx_sc[...]
+            wdma(1, l).wait()
+            x = x + qmm(ctx.astype(jnp.bfloat16), wo_buf, wo_s, l, li)
+
+            @pl.when(l + 1 < L)
+            def _():
+                wdma(1, l + 1).start()
+            return _mlp_tail(x, l, li)
 
         @pl.when(n_chunks > 0)
         def _():
@@ -338,26 +408,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
         @pl.when(l + 1 < L)
         def _():
             wdma(1, l + 1).start()
-
-        # ---- SwiGLU MLP
-        wdma(2, l).wait()
-        hn2 = _rms(x, ln2_ref[l], EPS).astype(jnp.bfloat16)
-        gup = qmm(hn2, gu_buf, gu_s, l, li)
-
-        @pl.when(l + 1 < L)
-        def _():
-            wdma(2, l + 1).start()
-
-        f_half = gup.shape[-1] // 2
-        gf = gup[:, :f_half].astype(jnp.float32)
-        ff = (gf * jax.nn.sigmoid(gf)).astype(jnp.bfloat16) * gup[:, f_half:]
-        wdma(3, l).wait()
-        x = x + qmm(ff, dn_buf, dn_s, l, li)
-
-        @pl.when(l + 1 < L)
-        def _():
-            wdma(3, l + 1).start()
-        return x
+        return _mlp_tail(x, l, li)
 
     x = jax.lax.fori_loop(0, lps, layer_iter, x_sc[...])
     x_sc[...] = x
@@ -369,9 +420,9 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg_static", "interpret", "wmode",
-                                    "lps"))
+                                    "lps", "ablate"))
 def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
-          cfg_static, interpret=False, wmode="int8", lps=1):
+          cfg_static, interpret=False, wmode="int8", lps=1, ablate=None):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
     rep = H // HKV
     dq = H * DH
@@ -405,7 +456,7 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
         scale_spec = lambda arr: fixed(arr.shape)
 
     kernel = functools.partial(_kernel, cfg_static=cfg_static, wmode=wmode,
-                               lps=lps)
+                               lps=lps, ablate=ablate)
     out, k_tok, v_tok = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -468,6 +519,8 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
       k_in, v_in)
     # scatter the new token's k/v into the (donated, in-place) cache with
     # one fused dynamic_update_slice per cache
+    if ablate == "nocache":      # timing probe: is this dus a full copy?
+        return out[:B], k_cache, v_cache
     k_tok = jnp.transpose(k_tok, (0, 2, 1, 3))[:, :B]     # [L, B, HKV, DH]
     v_tok = jnp.transpose(v_tok, (0, 2, 1, 3))[:, :B]
     start_i = jnp.asarray(start, jnp.int32)
@@ -669,7 +722,10 @@ def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
         lps = layers_per_step(L)
     elif L % lps != 0:
         lps = 1
+    import os as _os
+    ablate = _os.environ.get("QTTS_TALKER_ABLATE") or None
     return _call(x, cos_t.astype(jnp.float32),
                  sin_t.astype(jnp.float32), layer_w, cache_k, cache_v,
                  lengths, write_idx, cfg_static=cfg_static,
-                 interpret=interpret, wmode=weights, lps=lps)
+                 interpret=interpret, wmode=weights, lps=lps,
+                 ablate=ablate)

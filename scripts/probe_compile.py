@@ -140,7 +140,8 @@ def main() -> None:
                     xx_p, cos_t.astype(jnp.float32),
                     sin_t.astype(jnp.float32), layer_w, kc, vc,
                     lengths, pos, cfg_static=cfg_static, wmode=wmode,
-                    lps=ts.layers_per_step(tcfg.n_layers))
+                    lps=ts.layers_per_step(tcfg.n_layers),
+                    ablate=os.environ.get("QTTS_TALKER_ABLATE") or None)
                 return (h.astype(jnp.float32), kc, vc, pos + 1), h[0, 0]
             (xx, kc, vc, pos), ys = jax.lax.scan(
                 body, (x0, k_cache, v_cache, jnp.int32(PCAP)), None,
