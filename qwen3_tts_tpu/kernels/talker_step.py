@@ -154,7 +154,8 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
             x_sc, k_sc, v_sc, q3_sc, kn3_sc, vn3_sc, ctx_sc,
             wqkv_buf, wo_buf, gu_buf, dn_buf,
             kv_sems, wsems,
-            *, cfg_static, wmode="int8", lps=1, ablate=None):
+            *, cfg_static, wmode="int8", lps=1, ablate=None,
+            kv_prefetch=False, w2slot=False):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
     w8a8 = wmode == "w8a8"
 
@@ -175,7 +176,30 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
     def wdma(which, layer):
         hbm, buf = [(wqkv_hbm, wqkv_buf), (wo_hbm, wo_buf),
                     (gu_hbm, gu_buf), (dn_hbm, dn_buf)][which]
+        if w2slot:
+            # two slots per matrix type: layer l's weights live in slot
+            # l % 2, so layer l+1's stream can start the moment slot
+            # (l+1) % 2 was consumed (one full layer ago) instead of
+            # waiting for THIS layer's matmul to free a single slot.
+            sl = jax.lax.rem(layer, 2)
+            return pltpu.make_async_copy(hbm.at[layer], buf.at[sl],
+                                         wsems.at[which, sl])
         return pltpu.make_async_copy(hbm.at[layer], buf, wsems.at[which])
+
+    def wbuf(which, layer):
+        buf = [wqkv_buf, wo_buf, gu_buf, dn_buf][which]
+        return buf.at[jax.lax.rem(layer, 2)] if w2slot else buf
+
+    def kv_dma_at(slot, ci, b, lyr):
+        """[HKV, KV_CHUNK, DH] chunk of lane b's cache for layer `lyr`."""
+        return (pltpu.make_async_copy(
+                    k_hbm.at[lyr, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
+                    k_sc.at[slot, b], kv_sems.at[slot, b, 0]),
+                pltpu.make_async_copy(
+                    v_hbm.at[lyr, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
+                    v_sc.at[slot, b], kv_sems.at[slot, b, 1]))
+
+    n_chunks_pf = pl.cdiv(start_ref[0], KV_CHUNK)
 
     @pl.when(g == 0)
     def _():
@@ -183,6 +207,20 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
         nw = {"mlp_nodma": 2, "min": 0}.get(ablate, 4)
         for w in range(nw):
             wdma(w, 0).start()
+        if w2slot and L > 1:
+            for w in range(nw):
+                wdma(w, 1).start()
+        if kv_prefetch:
+            # cross-layer KV prefetch: layer 0's first chunk rides slot 2
+            # so every layer's chunk-0 DMA overlaps the PREVIOUS layer's
+            # wo/MLP and its own qkv (step-floor attribution: the
+            # per-layer chunk-0 latency was fully exposed at small
+            # cursors, 0.47 ms of the 1.95 ms step)
+            @pl.when(n_chunks_pf > 0)
+            def _():
+                for b in range(B):
+                    for dma in kv_dma_at(2, 0, b, 0):
+                        dma.start()
 
     def layer_iter(li, x):
         """One decoder layer; li in [0, lps), global layer l = g*lps + li.
@@ -199,14 +237,15 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
             # the gu/dn streams entirely — timing probes only)
             if ablate == "mlp_nodma":
                 return x
+            nxt = l + 2 if w2slot else l + 1
             wdma(2, l).wait()
             if ablate != "mlp":
                 hn2 = _rms(x, ln2_ref[l], EPS).astype(jnp.bfloat16)
-                gup = qmm(hn2, gu_buf, gu_s, l, li)
+                gup = qmm(hn2, wbuf(2, l), gu_s, l, li)
 
-            @pl.when(l + 1 < L)
+            @pl.when(nxt < L)
             def _():
-                wdma(2, l + 1).start()
+                wdma(2, nxt).start()
 
             if ablate != "mlp":
                 f_half = gup.shape[-1] // 2
@@ -215,21 +254,22 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
                     * gup[:, f_half:]
             wdma(3, l).wait()
             if ablate != "mlp":
-                x = x + qmm(ff, dn_buf, dn_s, l, li)
+                x = x + qmm(ff, wbuf(3, l), dn_s, l, li)
 
-            @pl.when(l + 1 < L)
+            @pl.when(nxt < L)
             def _():
-                wdma(3, l + 1).start()
+                wdma(3, nxt).start()
             return x
 
         # ---- qkv
         wdma(0, l).wait()
         hn = _rms(x, ln1_ref[l], EPS).astype(jnp.bfloat16)
-        qkv = qmm(hn, wqkv_buf, wqkv_s, l, li)
+        qkv = qmm(hn, wbuf(0, l), wqkv_s, l, li)
+        nxt = l + 2 if w2slot else l + 1
 
-        @pl.when(l + 1 < L)
+        @pl.when(nxt < L)
         def _():
-            wdma(0, l + 1).start()
+            wdma(0, nxt).start()
 
         q = qkv[:, :dq]
         k = qkv[:, dq: dq + dkv]
@@ -271,13 +311,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
         q3 = q3_sc[...].astype(jnp.float32) * (DH ** -0.5)  # [HKV, rB, DH]
 
         def kv_dma(slot, ci, b):
-            # [HKV, KV_CHUNK, DH] chunk of lane b's cache for this layer
-            return (pltpu.make_async_copy(
-                        k_hbm.at[l, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
-                        k_sc.at[slot, b], kv_sems.at[slot, b, 0]),
-                    pltpu.make_async_copy(
-                        v_hbm.at[l, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
-                        v_sc.at[slot, b], kv_sems.at[slot, b, 1]))
+            return kv_dma_at(slot, ci, b, l)
 
         if ablate in ("attn", "attn_keepdma"):
             if ablate == "attn_keepdma":
@@ -305,22 +339,25 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
             ctx_sc[...] = jnp.zeros_like(ctx_sc)
             ctx = ctx_sc[...]
             wdma(1, l).wait()
-            x = x + qmm(ctx.astype(jnp.bfloat16), wo_buf, wo_s, l, li)
+            x = x + qmm(ctx.astype(jnp.bfloat16), wbuf(1, l), wo_s, l, li)
 
-            @pl.when(l + 1 < L)
+            @pl.when(nxt < L)
             def _():
-                wdma(1, l + 1).start()
+                wdma(1, nxt).start()
             return _mlp_tail(x, l, li)
 
-        @pl.when(n_chunks > 0)
-        def _():
-            for b in range(B):
-                for dma in kv_dma(0, 0, b):
-                    dma.start()
+        if not kv_prefetch:
+            @pl.when(n_chunks > 0)
+            def _():
+                for b in range(B):
+                    for dma in kv_dma(0, 0, b):
+                        dma.start()
 
         def chunk_body(ci, carry):
             m, s_sum, acc = carry
-            slot = jax.lax.rem(ci, 2)
+            # chunk 0 rides the cross-layer prefetch slot (2) when enabled
+            slot = (jnp.where(ci == 0, 2, jax.lax.rem(ci, 2))
+                    if kv_prefetch else jax.lax.rem(ci, 2))
             nslot = jax.lax.rem(ci + 1, 2)
 
             @pl.when(ci + 1 < n_chunks)
@@ -370,6 +407,14 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
         a0 = jnp.zeros((HKV, rB, DH), jnp.float32)
         m, s_sum, acc = jax.lax.fori_loop(0, n_chunks, chunk_body,
                                           (m0, s0, a0))
+        if kv_prefetch:
+            # chunk 0 of the NEXT layer starts now (slot 2 is consumed):
+            # the DMA overlaps this layer's wo + MLP and l+1's qkv.
+            @pl.when(jnp.logical_and(l + 1 < L, n_chunks > 0))
+            def _():
+                for b in range(B):
+                    for dma in kv_dma_at(2, 0, b, l + 1):
+                        dma.start()
 
         # current token column (always valid, self-attention).  Row c*B + b
         # of q3 pairs with kn3 row b; select via a row%B == col mask on the
@@ -403,11 +448,11 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
         ctx = ctx_sc[...]
 
         wdma(1, l).wait()
-        x = x + qmm(ctx.astype(jnp.bfloat16), wo_buf, wo_s, l, li)
+        x = x + qmm(ctx.astype(jnp.bfloat16), wbuf(1, l), wo_s, l, li)
 
-        @pl.when(l + 1 < L)
+        @pl.when(nxt < L)
         def _():
-            wdma(1, l + 1).start()
+            wdma(1, nxt).start()
         return _mlp_tail(x, l, li)
 
     x = jax.lax.fori_loop(0, lps, layer_iter, x_sc[...])
@@ -455,8 +500,28 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
         # [L, N] per-output-channel rows, whole array VMEM-resident
         scale_spec = lambda arr: fixed(arr.shape)
 
+    # Cross-layer KV prefetch needs a third KV slot (+2 x ~0.5 MB per
+    # lane); worth it at decode batches, skipped for big-batch VMEM
+    # pressure and for ablation probes (their schedule must stay the
+    # measured baseline).
+    kv_prefetch = B <= 8 and ablate is None
+    kv_slots = 3 if kv_prefetch else 2
+    # Two-slot weight streaming (w4a8 only: packed int4 keeps the doubled
+    # buffers ~48 MB; other modes would blow the VMEM budget): the next
+    # layer's weight DMA spans the whole previous layer instead of
+    # starting after the consuming matmul.
+    # B <= 2: the doubled buffers + 3-slot KV scratch + Mosaic's
+    # pipelined scale blocks must fit the 110 MB VMEM budget.  Measured
+    # on v5e: NO win over single-slot + KV prefetch (scan64 min 0.101 s
+    # both) — the weight stream's per-transfer DMA rate, not the
+    # consume-gated start, is the remaining limit — so this stays an
+    # opt-in experiment for other hardware generations.
+    import os as _os
+    w2slot = (kv_prefetch and wmode == "w4a8" and B <= 2
+              and _os.environ.get("QTTS_TALKER_W2SLOT") == "1")
     kernel = functools.partial(_kernel, cfg_static=cfg_static, wmode=wmode,
-                               lps=lps, ablate=ablate)
+                               lps=lps, ablate=ablate,
+                               kv_prefetch=kv_prefetch, w2slot=w2slot)
     out, k_tok, v_tok = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -488,18 +553,23 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
             ],
             scratch_shapes=[
                 pltpu.VMEM((BP, D), jnp.bfloat16),        # x residual
-                pltpu.VMEM((2, B, HKV, KV_CHUNK, DH), jnp.bfloat16),
-                pltpu.VMEM((2, B, HKV, KV_CHUNK, DH), jnp.bfloat16),
+                pltpu.VMEM((kv_slots, B, HKV, KV_CHUNK, DH), jnp.bfloat16),
+                pltpu.VMEM((kv_slots, B, HKV, KV_CHUNK, DH), jnp.bfloat16),
                 pltpu.VMEM((HKV, rep * BP, DH), jnp.bfloat16),  # q3
                 pltpu.VMEM((HKV, BP, DH), jnp.bfloat16),  # k new
                 pltpu.VMEM((HKV, BP, DH), jnp.bfloat16),  # v new
                 pltpu.VMEM((BP, dq), jnp.float32),        # ctx unpack
-                pltpu.VMEM((rows_qkv, qkv_out), wdt),
-                pltpu.VMEM((rows_wo, D), wdt),
-                pltpu.VMEM((rows_gu, d_ff2), wdt),
-                pltpu.VMEM((rows_dn, D), wdt),
-                pltpu.SemaphoreType.DMA((2, B, 2)),       # kv chunk dma
-                pltpu.SemaphoreType.DMA((4,)),            # weight streams
+                (pltpu.VMEM((2, rows_qkv, qkv_out), wdt) if w2slot
+                 else pltpu.VMEM((rows_qkv, qkv_out), wdt)),
+                (pltpu.VMEM((2, rows_wo, D), wdt) if w2slot
+                 else pltpu.VMEM((rows_wo, D), wdt)),
+                (pltpu.VMEM((2, rows_gu, d_ff2), wdt) if w2slot
+                 else pltpu.VMEM((rows_gu, d_ff2), wdt)),
+                (pltpu.VMEM((2, rows_dn, D), wdt) if w2slot
+                 else pltpu.VMEM((rows_dn, D), wdt)),
+                pltpu.SemaphoreType.DMA((kv_slots, B, 2)),  # kv chunk dma
+                (pltpu.SemaphoreType.DMA((4, 2)) if w2slot
+                 else pltpu.SemaphoreType.DMA((4,))),     # weight streams
             ],
         ),
         out_shape=[
