@@ -124,6 +124,7 @@ def _qmm4(x_bf16, w_ref, s):
     k2, n = w_ref.shape
     nb = k2 // G
     b = x_bf16.shape[0]
+    s = s.astype(jnp.float32)      # scales stream bf16 (half the bytes)
     xf = x_bf16.astype(jnp.float32)
     ax = jnp.max(jnp.abs(xf), axis=1, keepdims=True)      # [B, 1]
     sx = jnp.maximum(ax, 1e-8) * (1.0 / 127.0)
@@ -663,6 +664,7 @@ def prep_layer_weights(cfg, params, weights: str = "int8") -> Dict[str, Any]:
             return deq, jnp.ones_like(s)
         return q, s          # "int8" and "w8a8" both stream int8
 
+    _sdt = jnp.bfloat16 if weights == "w4a8" else jnp.float32
     wqkv_q, wqkv_s = qs(lw["wqkv"])
     wo_q, wo_s = qs(lw["wo"])
     gu_q, gu_s = qs(lw["w_gate_up"])
@@ -674,10 +676,13 @@ def prep_layer_weights(cfg, params, weights: str = "int8") -> Dict[str, Any]:
         "kn": jnp.tile(lw["k_norm"].astype(jnp.float32), (1, HKV)),
         "seg_q": jnp.asarray(_seg_matrix(H, cfg.head_dim)),
         "seg_k": jnp.asarray(_seg_matrix(HKV, cfg.head_dim)),
-        "wqkv_q": wqkv_q, "wqkv_s": wqkv_s.astype(jnp.float32),
-        "wo_q": wo_q, "wo_s": wo_s.astype(jnp.float32),
-        "gu_q": gu_q, "gu_s": gu_s.astype(jnp.float32),
-        "dn_q": dn_q, "dn_s": dn_s.astype(jnp.float32),
+        # w4a8 grouped scales stream as bf16: the f32 form was 86 MB of
+        # the ~440 MB/step DMA demand; bf16 halves it for <=0.2% extra
+        # scale rounding on top of int4's own group quantization.
+        "wqkv_q": wqkv_q, "wqkv_s": wqkv_s.astype(_sdt),
+        "wo_q": wo_q, "wo_s": wo_s.astype(_sdt),
+        "gu_q": gu_q, "gu_s": gu_s.astype(_sdt),
+        "dn_q": dn_q, "dn_s": dn_s.astype(_sdt),
     }
 
 
