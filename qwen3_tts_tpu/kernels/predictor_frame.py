@@ -96,7 +96,7 @@ def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
             codes_ref,                                       # out (SMEM)
             x_sc, xnext_sc, win_sc, kc_sc, vc_sc,            # scratch
             wqkv_buf, wo_buf, gu_buf, dn_buf, dma_sems, wsems,
-            *, cfg_static, resident: bool):
+            *, cfg_static, resident: bool, ablate=None):
     (L, B, H, HKV, DH, D, EPS) = cfg_static
     t = pl.program_id(0)
     rep = H // HKV
@@ -237,15 +237,25 @@ def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
         x = x + _qmm(ff, dn_w, dn_s[l, 0])
         return x
 
-    x = jax.lax.fori_loop(0, L, layer_body, x_sc[...])
+    # QTTS_PRED_ABLATE (timing probes ONLY — output is wrong):
+    #   "nolayers" skip the decoder layers; "nohead" skip window logits
+    #   + argmax; "noemb" skip the serialized code->table-row fetch;
+    #   "min" = all three (bare grid machinery).
+    if ablate in ("nolayers", "min"):
+        x = x_sc[...]
+    else:
+        x = jax.lax.fori_loop(0, L, layer_body, x_sc[...])
     x_sc[...] = x
 
     # ---- logits window -> code -> next-token embedding
-    hf = _rms(x, fn_ref[0], EPS).astype(jnp.bfloat16)
-    logits = jax.lax.dot_general(
-        hf, head_q[...].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * head_s[0, 0].astype(
-            jnp.float32)                                  # [B, 2048]
+    if ablate in ("nohead", "min"):
+        logits = x[:, :2048].astype(jnp.float32)  # cheap stand-in
+    else:
+        hf = _rms(x, fn_ref[0], EPS).astype(jnp.bfloat16)
+        logits = jax.lax.dot_general(
+            hf, head_q[...].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * head_s[0, 0].astype(
+                jnp.float32)                              # [B, 2048]
 
     if _DEBUG:
         pl.debug_print("t={} |x|={} |logits|={}", t,
@@ -254,11 +264,18 @@ def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
     @pl.when(t >= 1)
     def _():
         for b in range(B):
-            codes_ref[b, t] = jnp.argmax(logits[b]).astype(jnp.int32)
+            codes_ref[b, t] = (jnp.int32(0) if ablate in ("nohead", "min")
+                               else jnp.argmax(logits[b]).astype(jnp.int32))
 
     # next token t+1 = tables[t][code_t]  (code_0 comes from input).
     # HBM row slices must be 8-aligned, so DMA the aligned 8-row window
     # and mask-select the row in VMEM.
+    if ablate in ("noemb", "min"):
+        @pl.when(t < N_TOKENS - 1)
+        def _():
+            xnext_sc[...] = x_sc[...]
+        return
+
     @pl.when(t < N_TOKENS - 1)
     def _():
         for b in range(B):
@@ -283,9 +300,10 @@ def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg_static", "interpret", "resident"))
+                   static_argnames=("cfg_static", "interpret", "resident",
+                                    "ablate"))
 def _call(x0, code0, cos, sin, layer_w, fn, head_q, head_s, tables,
-          cfg_static, interpret=False, resident=False):
+          cfg_static, interpret=False, resident=False, ablate=None):
     (L, B, H, HKV, DH, D, EPS) = cfg_static
     grid = (N_TOKENS,)
     d_ff2 = layer_w["gu_q"].shape[-1]
@@ -306,7 +324,7 @@ def _call(x0, code0, cos, sin, layer_w, fn, head_q, head_s, tables,
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
 
     kernel = functools.partial(_kernel, cfg_static=cfg_static,
-                               resident=resident)
+                               resident=resident, ablate=ablate)
     codes = pl.pallas_call(
         kernel,
         grid=grid,
@@ -483,7 +501,9 @@ def predict_frame_fused(cfg, params, h1024, code0, codec_tables_1024,
                   params["final_norm"].astype(jnp.float32)[None, :],
                   head_q, head_s2, tables,
                   cfg_static=cfg_static, interpret=interpret,
-                  resident=_fits_resident(cfg))
+                  resident=_fits_resident(cfg),
+                  ablate=__import__("os").environ.get("QTTS_PRED_ABLATE")
+                  or None)
     return codes[:B]
 
 
