@@ -136,9 +136,11 @@ def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
         vc_sc[...] = jnp.zeros_like(vc_sc)
         for b in range(B):
             codes_ref[b, 0] = code0_ref[b, 0]
-        if resident:
+        if resident and ablate != "noload":
             for dma in full_dmas():
                 dma.start()
+        elif resident:
+            pass                       # timing probe: skip the reload
         else:
             # warm-up: layer 0 weights into slot 0
             for dma in weight_dmas(0, 0):
@@ -148,7 +150,7 @@ def _kernel(x0_ref, code0_ref, cos_ref, sin_ref,
     def _():
         x_sc[...] = xnext_sc[...]
 
-    if resident:
+    if resident and ablate != "noload":
         @pl.when(t == 0)
         def _():
             for dma in full_dmas():
