@@ -213,14 +213,23 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
                 wdma(w, 1).start()
         if kv_prefetch:
             # cross-layer KV prefetch: layer 0's first chunk rides slot 2
-            # so every layer's chunk-0 DMA overlaps the PREVIOUS layer's
-            # wo/MLP and its own qkv (step-floor attribution: the
-            # per-layer chunk-0 latency was fully exposed at small
-            # cursors, 0.47 ms of the 1.95 ms step)
+            # (and chunk 1, when present, slot 1) so every layer's early
+            # KV DMAs overlap the PREVIOUS layer's wo/MLP and its own
+            # qkv.  Step-floor attribution: the per-layer chunk-0 latency
+            # was fully exposed at small cursors (0.47 ms of the 1.95 ms
+            # step), and chunk 1's returned at cursors past KV_CHUNK
+            # (intra-layer double-buffering gave it only chunk-0's
+            # near-zero compute time to transfer).
             @pl.when(n_chunks_pf > 0)
             def _():
                 for b in range(B):
                     for dma in kv_dma_at(2, 0, b, 0):
+                        dma.start()
+
+            @pl.when(n_chunks_pf > 1)
+            def _():
+                for b in range(B):
+                    for dma in kv_dma_at(1, 1, b, 0):
                         dma.start()
 
     def layer_iter(li, x):
@@ -361,7 +370,12 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
                     if kv_prefetch else jax.lax.rem(ci, 2))
             nslot = jax.lax.rem(ci + 1, 2)
 
-            @pl.when(ci + 1 < n_chunks)
+            # chunks 0 AND 1 are cross-layer-prefetched; the intra-layer
+            # pipeline only issues from chunk 2 on
+            start_gate = (jnp.logical_and(ci + 1 < n_chunks, ci >= 1)
+                          if kv_prefetch else ci + 1 < n_chunks)
+
+            @pl.when(start_gate)
             def _():
                 for b in range(B):
                     for dma in kv_dma(nslot, ci + 1, b):
@@ -409,12 +423,19 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
         m, s_sum, acc = jax.lax.fori_loop(0, n_chunks, chunk_body,
                                           (m0, s0, a0))
         if kv_prefetch:
-            # chunk 0 of the NEXT layer starts now (slot 2 is consumed):
-            # the DMA overlaps this layer's wo + MLP and l+1's qkv.
+            # chunks 0 and 1 of the NEXT layer start now (their slots are
+            # consumed): the DMAs overlap this layer's wo + MLP and
+            # l+1's qkv.
             @pl.when(jnp.logical_and(l + 1 < L, n_chunks > 0))
             def _():
                 for b in range(B):
                     for dma in kv_dma_at(2, 0, b, l + 1):
+                        dma.start()
+
+            @pl.when(jnp.logical_and(l + 1 < L, n_chunks > 1))
+            def _():
+                for b in range(B):
+                    for dma in kv_dma_at(1, 1, b, l + 1):
                         dma.start()
 
         # current token column (always valid, self-attention).  Row c*B + b

@@ -62,8 +62,8 @@ def main() -> None:
 
     cfg = EngineConfig()
     tcfg = cfg.talker
-    B = 1
-    PCAP = 128
+    B = int(os.environ.get("QTTS_PROBE_B", "1"))
+    PCAP = int(os.environ.get("QTTS_PROBE_PCAP", "128"))
     # capacity formula of runtime.generate.prefill at bench shapes
     need = PCAP + cfg.runtime.max_steps + cfg.runtime.frames_per_chunk
     CAP = ((need + 511) // 512) * 512
