@@ -152,6 +152,29 @@ def main() -> None:
         "partial": "batch sweep pending",
         "baseline_rtf": BASELINE_RTF}), flush=True)
 
+    # Long-generation RTF (512 frames = 42.7 s of audio, cursor runs to
+    # 640): validates "RTF flat over generation length" — the KV
+    # prefetch covers chunks 0 AND 1 of the next layer, so decode past
+    # KV_CHUNK slots keeps the short-cursor rate (DESIGN §11).  Guarded.
+    rtf_long = None
+    try:
+        def long_once(seed: int):
+            t0 = time.perf_counter()
+            state = generator.start(embeds, lengths, jax.random.PRNGKey(seed))
+            dec_state = codec_decoder.init_decoder_state(
+                cfg.codec_decoder, dec_params, batch=1)
+            out = generator.run_bulk(state, dec_state, sampler,
+                                     prompt_cap=PROMPT_CAP, max_frames=512)
+            hard_sync(out[4])
+            return time.perf_counter() - t0
+
+        long_once(0)
+        long_audio_s = 512 * spf / P.SAMPLE_RATE
+        rtf_long = round(min(long_once(s) for s in (1, 2)) / long_audio_s, 4)
+    except Exception as e:
+        print(json.dumps({"metric": "rtf_long", "error": str(e)[:200]}),
+              flush=True)
+
     # Voice-clone prompt prefill (4096-row bucket, b=1): the flash
     # prefill kernel's headline case (DESIGN "Prefill anatomy":
     # 211.8 -> 108.0 ms vs the XLA attention path).  Guarded: a failure
@@ -291,6 +314,7 @@ def main() -> None:
         "batch_rtf_per_stream": batch_rtf,
         "batch_ttft_ms": batch_ttft_ms,
         "clone_prefill_ms_4096": clone_prefill_ms,
+        "rtf_long_512f": rtf_long,
         "baseline_rtf": BASELINE_RTF,
     }))
 
