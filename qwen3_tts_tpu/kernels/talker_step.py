@@ -526,7 +526,10 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
     # lane); worth it at decode batches, skipped for big-batch VMEM
     # pressure and for ablation probes (their schedule must stay the
     # measured baseline).
-    kv_prefetch = B <= 8 and ablate is None
+    # attn-variants replace the KV DMA schedule outright; the other
+    # ablations compose with the prefetch so probes measure the
+    # production schedule minus one component.
+    kv_prefetch = B <= 8 and ablate not in ("attn", "attn_keepdma", "min")
     kv_slots = 3 if kv_prefetch else 2
     # Two-slot weight streaming (w4a8 only: packed int4 keeps the doubled
     # buffers ~48 MB; other modes would blow the VMEM budget): the next
