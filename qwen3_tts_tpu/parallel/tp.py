@@ -34,7 +34,6 @@ TPU serving.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax
