@@ -76,7 +76,7 @@ def main():
     frames = sum(r.frames for r in results)
     ttfts = sorted(r.ttft_ms for r in results if r.ttft_ms is not None)
     pct = (lambda q: ttfts[min(len(ttfts) - 1,
-                               int(q * (len(ttfts) - 1)))]) if ttfts else \
+                               round(q * (len(ttfts) - 1)))]) if ttfts else \
         (lambda q: None)
     print(json.dumps({
         "scheduler": "continuous-96on32", "wall_s": round(dt, 3),

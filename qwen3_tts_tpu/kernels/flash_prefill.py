@@ -115,7 +115,10 @@ def _kernel(lengths_ref, start_ref, layer_ref, q_ref, k_hbm, v_hbm,
         s = jnp.where(valid, s, NEG_INF)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)                               # [rows, kchunk]
+        # Guard the all-masked-while-m==NEG_INF case: there exp(s - m_new)
+        # = exp(0) = 1 for every masked slot and garbage V accumulates.
+        # Reachable only for length==0 lanes today, but cheap to kill.
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)        # [rows, kchunk]
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(

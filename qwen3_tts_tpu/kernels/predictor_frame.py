@@ -504,9 +504,13 @@ def predict_frame_fused(cfg, params, h1024, code0, codec_tables_1024,
                   head_q, head_s2, tables,
                   cfg_static=cfg_static, interpret=interpret,
                   resident=_fits_resident(cfg),
-                  ablate=__import__("os").environ.get("QTTS_PRED_ABLATE")
-                  or None)
+                  ablate=_pred_ablate())
     return codes[:B]
+
+
+def _pred_ablate():
+    from qwen3_tts_tpu.utils.debug import ablate_mode
+    return ablate_mode("QTTS_PRED_ABLATE")
 
 
 def _fits_resident(cfg) -> bool:

@@ -821,8 +821,8 @@ def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
         lps = layers_per_step(L)
     elif L % lps != 0:
         lps = 1
-    import os as _os
-    ablate = _os.environ.get("QTTS_TALKER_ABLATE") or None
+    from qwen3_tts_tpu.utils.debug import ablate_mode
+    ablate = ablate_mode("QTTS_TALKER_ABLATE")
     return _call(x, cos_t.astype(jnp.float32),
                  sin_t.astype(jnp.float32), layer_w, cache_k, cache_v,
                  lengths, write_idx, cfg_static=cfg_static,

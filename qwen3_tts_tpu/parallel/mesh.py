@@ -7,10 +7,13 @@ parallelism is first-class and expressed entirely through `jax.sharding`:
   * axis "data"  — concurrent TTS streams (the batch dim of every activation
     and of the KV cache).  This is the scaling axis for serving: v5e-8 runs
     8x the streams at the same per-stream latency, with zero collectives.
-  * axis "model" — tensor parallelism over attention heads / MLP columns for
-    larger talker variants: qkv/gate/up are column-sharded, wo/down are
-    row-sharded, so each layer incurs exactly one psum on ICI (inserted by
-    XLA from the shardings; no hand-written collectives).
+  * axis "model" — tensor parallelism for larger talker variants.  Every
+    projection shards its CONTRACTION dim over "model" (row-parallel /
+    1D weight-stationary, 4 psums per layer inserted by XLA) — see
+    decoder_param_specs for why the Megatron column/row split was
+    abandoned (fused-tensor slices forced reshards inside the layer
+    scan).  parallel/tp.py carries the same layout as an explicit
+    shard_map schedule.
 
 Sharding is data-driven: params/caches are placed with NamedSharding and the
 jitted programs follow their operands, so the same model code runs 1-chip or

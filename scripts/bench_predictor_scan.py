@@ -4,7 +4,8 @@ selects the structural ablation variants (DESIGN §11 attribution).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_predictor_scan.py
 """
-import time, functools
+import os, time, functools
+os.environ.setdefault("QTTS_DEBUG_PROBES", "1")  # this IS a probe script
 import jax, jax.numpy as jnp
 from qwen3_tts_tpu.core.config import EngineConfig
 from qwen3_tts_tpu.models import predictor as predictor_lib
