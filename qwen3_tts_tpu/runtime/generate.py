@@ -271,6 +271,40 @@ def prefill_lane(cfg: EngineConfig, talker_params, embeds: jnp.ndarray,
     )
 
 
+def prefill_lanes(cfg: EngineConfig, talker_params, embeds: jnp.ndarray,
+                  lengths: jnp.ndarray, lanes: jnp.ndarray, state: GenState,
+                  ) -> GenState:
+    """Batched lane refill: prefill R lanes of a running batch in ONE
+    program (continuous batching's per-refill host round-trips collapse to
+    one dispatch per scheduler round).  embeds: [R, S_max, 2048] padded
+    prompts; lengths/lanes: [R].  Duplicate lane indices are ALLOWED ONLY
+    with identical rows (callers pad a partial refill group by repeating
+    row 0) — the scatter picks an arbitrary duplicate, which is then the
+    same data.  Semantics per lane match prefill_lane."""
+    cache = state.cache
+    r, s_max, _ = embeds.shape
+    lanes = jnp.asarray(lanes, jnp.int32)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    lane_cache = cache.replace(
+        k=jnp.take(cache.k, lanes, axis=1),
+        v=jnp.take(cache.v, lanes, axis=1),
+        write_idx=jnp.zeros((r,), jnp.int32),
+        lengths=lengths)
+    logits, hidden, lane_cache = talker_lib.talker_prefill(
+        cfg.talker, talker_params, embeds, lengths, lane_cache)
+    new_cache = cache.replace(
+        k=cache.k.at[:, lanes].set(lane_cache.k.astype(cache.k.dtype)),
+        v=cache.v.at[:, lanes].set(lane_cache.v.astype(cache.v.dtype)),
+        lengths=cache.lengths.at[lanes].set(lengths),
+        write_idx=cache.write_idx.at[lanes].set(jnp.int32(s_max)))
+    return state.replace(
+        cache=new_cache,
+        logits=state.logits.at[lanes].set(logits.astype(state.logits.dtype)),
+        hidden=state.hidden.at[lanes].set(hidden.astype(state.hidden.dtype)),
+        pos=state.pos.at[lanes].set(lengths),
+        done=state.done.at[lanes].set(False))
+
+
 def gen_frames_with_audio(cfg: EngineConfig, talker_params, predictor_params,
                           assets_pack, codec_params, state: GenState,
                           dec_state, sampler: SamplerParams, n_frames: int,
@@ -594,6 +628,33 @@ class Generator:
         return self._prefill_lane(self.talker_params, embeds_1,
                                   jnp.asarray(length, jnp.int32),
                                   jnp.asarray(lane, jnp.int32), state)
+
+    def refill_lanes(self, state: GenState, embeds_r: jnp.ndarray, lengths,
+                     lanes) -> GenState:
+        """Batched refill: prefill len(lanes) lanes in ONE device program.
+        embeds_r: [R, S_max, 2048]; lengths/lanes: length-R sequences.  R is
+        padded up to a power of two (repeating row 0 — safe, see
+        prefill_lanes) so at most log2(B)+1 program signatures exist."""
+        import numpy as np
+        r = int(embeds_r.shape[0])
+        rp = 1 << (r - 1).bit_length()
+        lengths = np.asarray(lengths, np.int32)
+        lanes = np.asarray(lanes, np.int32)
+        if rp != r:
+            pad = rp - r
+            embeds_r = jnp.concatenate(
+                [embeds_r, jnp.broadcast_to(embeds_r[:1],
+                                            (pad,) + embeds_r.shape[1:])])
+            lengths = np.concatenate([lengths, np.repeat(lengths[:1], pad)])
+            lanes = np.concatenate([lanes, np.repeat(lanes[:1], pad)])
+        if not hasattr(self, "_prefill_lanes"):
+            self._prefill_lanes = jax.jit(
+                functools.partial(prefill_lanes, self.cfg),
+                donate_argnames=("state",)
+                if self.cfg.runtime.donate_cache else ())
+        return self._prefill_lanes(self.talker_params, embeds_r,
+                                   jnp.asarray(lengths), jnp.asarray(lanes),
+                                   state)
 
     def chunk(self, state: GenState, sampler: SamplerParams, prompt_cap: int,
               n_frames: int = None, uniform_cursor: bool = True):

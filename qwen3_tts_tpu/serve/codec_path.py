@@ -62,6 +62,34 @@ class LaneCodec:
         self._wav_np = np.asarray(wav)
         return state, np.asarray(codes), np.asarray(valid)
 
+    # ---------------------------------------------------------------- group
+    def run_group(self, state, sampler, *, prompt_cap: int, n_frames: int,
+                  max_frames: int, budgets, uniform_cursor: bool = False):
+        """A multi-chunk group in ONE device program (runtime._gen_bulk):
+        up to max_frames//n_frames chunks, early-exiting when every lane is
+        done (EOS or its per-lane `budgets` entry, relative to group start).
+        The continuous scheduler dispatches once per GROUP instead of once
+        per 4-frame chunk — the host-dispatch bound that capped ragged
+        traffic at ~64 frames/s.  Returns (state, codes_np [B,F,16],
+        valid_np [B,F], saw_eos_np [B])."""
+        eng = self.eng
+        bj = jnp.asarray(np.asarray(budgets, np.int32))
+        if self.use_onnx:
+            state, codes, valid, _, saw_eos = eng.generator.run_bulk_codes(
+                state, sampler, prompt_cap=prompt_cap, max_frames=max_frames,
+                n_frames=n_frames, budgets=bj,
+                uniform_cursor=uniform_cursor)
+            self._wav_np = None
+        else:
+            state, self.dec_state, codes, valid, wav, _, saw_eos = \
+                eng.generator.run_bulk(
+                    state, self.dec_state, sampler, prompt_cap=prompt_cap,
+                    max_frames=max_frames, n_frames=n_frames, budgets=bj,
+                    uniform_cursor=uniform_cursor)
+            self._wav_np = np.asarray(wav)
+        return (state, np.asarray(codes), np.asarray(valid),
+                np.asarray(saw_eos))
+
     # ----------------------------------------------------------- chunk audio
     def chunk_audio(self, codes_np: np.ndarray, ks: np.ndarray,
                     finals: np.ndarray) -> List[np.ndarray]:

@@ -115,3 +115,106 @@ def test_bucket_routing_mixed_lengths(tiny_engine, monkeypatch):
     # two distinct buckets were used, and the short prompts used the small one
     assert len(set(seen_buckets)) >= 2
     assert min(seen_buckets) < max(seen_buckets)
+
+
+def test_refill_lanes_batched_matches_sequential(tiny_engine):
+    """Batched multi-lane refill (runtime.prefill_lanes, one program) must
+    leave the state identical to sequential per-lane refills."""
+    eng = tiny_engine
+    from qwen3_tts_tpu.runtime.generate import SamplerParams
+
+    voice = eng.get_speaker("vivian")
+    plan_a = eng._build_voice_prompt("occupant text", voice, None)
+    plan_b = eng._build_voice_prompt("replacement one", voice, None)
+    plan_c = eng._build_voice_prompt("replacement number two", voice, None)
+    bucket = eng._bucket(max(plan_a.length, plan_b.length, plan_c.length))
+
+    embeds, lens = eng.prompt_to_device([plan_a] * 4, bucket)
+    state0 = eng.generator.start(embeds, jnp.asarray(lens),
+                                 jax.random.PRNGKey(0))
+    sampler = SamplerParams.make(SamplerConfig(seed=1))
+    state0, _, _ = eng.generator.chunk(state0, sampler, prompt_cap=bucket,
+                                       n_frames=2, uniform_cursor=False)
+
+    eb, _ = eng.prompt_to_device([plan_b, plan_c], bucket)
+    lens_r = [min(plan_b.length, bucket), min(plan_c.length, bucket)]
+
+    # refill programs donate their input state -> copy per path
+    s_seq = jax.tree.map(jnp.copy, state0)
+    s_bat = jax.tree.map(jnp.copy, state0)
+    seq = eng.generator.refill_lane(s_seq, eb[0], lens_r[0], 1)
+    seq = eng.generator.refill_lane(seq, eb[1], lens_r[1], 3)
+    bat = eng.generator.refill_lanes(s_bat, eb, lens_r, [1, 3])
+
+    np.testing.assert_allclose(np.asarray(bat.logits), np.asarray(seq.logits),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(bat.hidden), np.asarray(seq.hidden),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(bat.pos), np.asarray(seq.pos))
+    np.testing.assert_array_equal(np.asarray(bat.done), np.asarray(seq.done))
+    np.testing.assert_array_equal(np.asarray(bat.cache.lengths),
+                                  np.asarray(seq.cache.lengths))
+    np.testing.assert_array_equal(np.asarray(bat.cache.write_idx),
+                                  np.asarray(seq.cache.write_idx))
+    np.testing.assert_allclose(np.asarray(bat.cache.k, np.float32),
+                               np.asarray(seq.cache.k, np.float32),
+                               rtol=2e-4, atol=2e-3)
+
+
+def test_refill_lanes_pads_partial_group(tiny_engine):
+    """A refill group of 3 pads to 4 by repeating row 0 (duplicate lane
+    indices with identical data) — results must match sequential refills."""
+    eng = tiny_engine
+    from qwen3_tts_tpu.runtime.generate import SamplerParams
+
+    voice = eng.get_speaker("vivian")
+    plan_a = eng._build_voice_prompt("the original", voice, None)
+    plans_r = [eng._build_voice_prompt(f"new stream {i}", voice, None)
+               for i in range(3)]
+    bucket = eng._bucket(max([plan_a.length] + [p.length for p in plans_r]))
+
+    embeds, lens = eng.prompt_to_device([plan_a] * 4, bucket)
+    state0 = eng.generator.start(embeds, jnp.asarray(lens),
+                                 jax.random.PRNGKey(2))
+    sampler = SamplerParams.make(SamplerConfig(seed=4))
+    state0, _, _ = eng.generator.chunk(state0, sampler, prompt_cap=bucket,
+                                       n_frames=2, uniform_cursor=False)
+
+    eb, _ = eng.prompt_to_device(plans_r, bucket)
+    lens_r = [min(p.length, bucket) for p in plans_r]
+    lanes = [0, 2, 3]
+
+    seq = jax.tree.map(jnp.copy, state0)
+    s_bat = jax.tree.map(jnp.copy, state0)
+    for j, lane in enumerate(lanes):
+        seq = eng.generator.refill_lane(seq, eb[j], lens_r[j], lane)
+    bat = eng.generator.refill_lanes(s_bat, eb, lens_r, lanes)
+
+    np.testing.assert_allclose(np.asarray(bat.logits), np.asarray(seq.logits),
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(bat.pos), np.asarray(seq.pos))
+    np.testing.assert_array_equal(np.asarray(bat.cache.write_idx),
+                                  np.asarray(seq.cache.write_idx))
+
+
+def test_continuous_group_dispatch_mixed_budgets(tiny_engine):
+    """Multi-chunk group dispatch with heterogeneous budgets: every request
+    completes within its own budget and audio length matches frames."""
+    eng = tiny_engine
+    eng.set_max_steps(16)
+    eng.set_sampler_config(SamplerConfig(seed=6))
+    voice = eng.get_speaker("vivian")
+    reqs = [BatchRequest(f"mixed budget request {i}", voice,
+                         max_frames=(i % 3) * 4 + 4)   # 4/8/12
+            for i in range(9)]
+    batcher = ContinuousBatcher(eng, batch_size=2,
+                                max_frames_per_stream=12, group_chunks=4)
+    results = batcher.run(reqs)
+    spf = eng.config.codec_decoder.samples_per_frame
+    assert len(results) == 9
+    for i, r in enumerate(results):
+        budget = (i % 3) * 4 + 4
+        assert 0 < r.frames <= budget
+        assert len(r.audio.samples) == r.frames * spf
+        assert np.isfinite(r.audio.samples).all()
+        assert r.ttft_ms is not None and r.ttft_ms >= 0
