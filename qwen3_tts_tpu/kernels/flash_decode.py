@@ -222,6 +222,209 @@ def flash_gqa_decode_stacked(q: jnp.ndarray, k_all: jnp.ndarray,
     return out.reshape(b, hq, dh)
 
 
+def _kernel_stacked_append(lengths_ref, start_ref, layer_ref, q_ref,
+                           kn_ref, vn_ref, k_hbm, v_hbm,
+                           o_ref, k_out, v_out,
+                           k_scratch, v_scratch, ktmp, vtmp,
+                           sem_k, sem_v, sem_w,
+                           *, prompt_cap: int, capacity: int, scale: float):
+    """_kernel_stacked + IN-KERNEL cache append at per-lane cursors.
+
+    The XLA form of a per-lane append (`.at[l, lanes, :, cursors, :]`,
+    or an equivalent lax.scatter) defeats in-place buffer reuse inside the
+    decode loop: measured b=32 bulk decode went 17.8 -> 346 ms/frame the
+    moment cursors became per-lane (the reason round 3 concluded continuous
+    batching was "host-dispatch-bound").  Here the new token's k/v rows are
+    DMA'd straight into the ALIASED cache buffer at (layer, b, h, start[b])
+    — the cache never leaves HBM and never gets copied.  The written slot
+    is excluded from the prefix reads (c < start) and the current token
+    joins the online softmax in-register, so there is no read-after-write
+    hazard to order around.
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    g, dh = q_ref.shape[2], q_ref.shape[3]
+    layer = layer_ref[0]
+
+    length = lengths_ref[b]
+    start = start_ref[b]
+    n_chunks = pl.cdiv(start, CHUNK)
+
+    # Append this (b, h)'s new row via read-modify-write of the ALIGNED
+    # 2-slot window: bf16 sublane tiling forbids 1-row HBM DMA slices.
+    # The window's rows below `start` are live and rewritten with the
+    # identical bytes they already hold (a racing prefix read sees the same
+    # data either way); rows above `start` are dead until later appends
+    # overwrite them.
+    aligned = (start // 8) * 8
+    rem = start - aligned
+    rk = pltpu.make_async_copy(
+        k_out.at[layer, b, h, pl.ds(aligned, 8), :], ktmp, sem_w.at[0])
+    rv = pltpu.make_async_copy(
+        v_out.at[layer, b, h, pl.ds(aligned, 8), :], vtmp, sem_w.at[1])
+    rk.start()
+    rv.start()
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale     # [G, Dh]
+
+    def get_dma(slot, chunk_idx, sref, hbm, sem):
+        return pltpu.make_async_copy(
+            hbm.at[layer, b, h, pl.ds(chunk_idx * CHUNK, CHUNK), :],
+            sref.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0, k_scratch, k_hbm, sem_k).start()
+        get_dma(0, 0, v_scratch, v_hbm, sem_v).start()
+
+    def body(ci, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(ci, 2)
+        next_slot = jax.lax.rem(ci + 1, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            get_dma(next_slot, ci + 1, k_scratch, k_hbm, sem_k).start()
+            get_dma(next_slot, ci + 1, v_scratch, v_hbm, sem_v).start()
+
+        get_dma(slot, ci, k_scratch, k_hbm, sem_k).wait()
+        get_dma(slot, ci, v_scratch, v_hbm, sem_v).wait()
+
+        k = k_scratch[slot].astype(jnp.float32)       # [CHUNK, Dh]
+        v = v_scratch[slot].astype(jnp.float32)
+
+        c_idx = ci * CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, (1, CHUNK), 1)                 # [1, CHUNK]
+        valid = (c_idx < length) | ((c_idx >= prompt_cap) & (c_idx < start))
+        valid = valid & (c_idx < capacity)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [G, CHUNK]
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [G, Dh]
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((g, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((g, 1), jnp.float32)
+    acc0 = jnp.zeros((g, dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+
+    # blend the new row into the aligned window and write it back
+    rk.wait()
+    rv.wait()
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (8, dh), 0)
+    ktmp[...] = jnp.where(rowi == rem, kn_ref[0, 0], ktmp[...])
+    vtmp[...] = jnp.where(rowi == rem, vn_ref[0, 0], vtmp[...])
+    wk = pltpu.make_async_copy(
+        ktmp, k_out.at[layer, b, h, pl.ds(aligned, 8), :], sem_w.at[0])
+    wv = pltpu.make_async_copy(
+        vtmp, v_out.at[layer, b, h, pl.ds(aligned, 8), :], sem_w.at[1])
+    wk.start()
+    wv.start()
+
+    # current token (always self-visible), in-register
+    kn = kn_ref[0, 0].astype(jnp.float32)             # [1, Dh]
+    vn = vn_ref[0, 0].astype(jnp.float32)
+    s_cur = jax.lax.dot_general(
+        q, kn, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [G, 1]
+    m_f = jnp.maximum(m, s_cur)
+    alpha = jnp.exp(m - m_f)
+    p_cur = jnp.exp(s_cur - m_f)
+    acc = acc * alpha + jax.lax.dot_general(
+        p_cur, vn, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    l = l * alpha + p_cur
+
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    wk.wait()
+    wv.wait()
+
+
+def flash_gqa_decode_append(q: jnp.ndarray, k_all: jnp.ndarray,
+                            v_all: jnp.ndarray, k_new: jnp.ndarray,
+                            v_new: jnp.ndarray, lengths: jnp.ndarray,
+                            write_idx: jnp.ndarray, layer: jnp.ndarray,
+                            prompt_cap: int, interpret: bool = False,
+                            ) -> tuple:
+    """Stacked-cache decode attention + per-lane-cursor append, in place.
+
+    q: [B, H, Dh]; k_all/v_all: [L, B, Hkv, C, Dh] (donated — the returned
+    caches alias them); k_new/v_new: [B, Hkv, Dh] the current token's
+    rows (NOT yet written); write_idx: [B] per-lane slots to write.
+    Returns (attn [B, H, Dh], k_all', v_all').
+    """
+    b, hq, dh = q.shape
+    write_idx = jnp.broadcast_to(jnp.asarray(write_idx, jnp.int32), (b,))
+    hkv, cap = k_all.shape[2], k_all.shape[3]
+    if cap % CHUNK != 0:
+        raise ValueError(f"stacked flash decode needs capacity % {CHUNK} "
+                         f"== 0, got {cap}")
+    g = hq // hkv
+    q4 = q.reshape(b, hkv, g, dh)
+
+    grid = (b, hkv)
+    # [B, Hkv, 1, Dh] with unit slot axis: Mosaic needs the last two
+    # block dims tiled 8/128-aligned or equal to the array dims
+    newspec = pl.BlockSpec((1, 1, 1, dh), lambda i, j, *_: (i, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out, k_out, v_out = pl.pallas_call(
+        functools.partial(_kernel_stacked_append, prompt_cap=prompt_cap,
+                          capacity=cap, scale=dh ** -0.5),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, g, dh), lambda i, j, *_: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                newspec,
+                newspec,
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, g, dh), lambda i, j, *_: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, CHUNK, dh), k_all.dtype),
+                pltpu.VMEM((2, CHUNK, dh), v_all.dtype),
+                pltpu.VMEM((8, dh), k_all.dtype),
+                pltpu.VMEM((8, dh), v_all.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, g, dh), q.dtype),
+            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
+            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
+        ],
+        # flat operand indices INCLUDE the scalar-prefetch args:
+        # lengths(0) start(1) layer(2) q4(3) k_new(4) v_new(5) k(6) v(7)
+        input_output_aliases={6: 1, 7: 2},
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), write_idx,
+      jnp.reshape(layer, (1,)).astype(jnp.int32),
+      q4, k_new.astype(k_all.dtype)[:, :, None],
+      v_new.astype(v_all.dtype)[:, :, None],
+      k_all, v_all)
+    return out.reshape(b, hq, dh), k_out, v_out
+
+
 def use_flash_decode() -> bool:
     """Trace-time gate: Pallas TPU kernels only run on TPU backends."""
     import os

@@ -14,6 +14,7 @@ for XLA: no host round-trips, static shapes, bf16 matmuls on the MXU.
 
 from __future__ import annotations
 
+import os as _os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -370,15 +371,68 @@ def _decode_step_carry(cfg, params: Dict[str, Any], x: jnp.ndarray,
         # one-slot append into the carried stacked cache (in place)
         k_new = jnp.swapaxes(kk, 1, 2).astype(k_all.dtype)  # [B, Hkv, 1, Dh]
         v_new = jnp.swapaxes(vv, 1, 2).astype(v_all.dtype)
+        if not scalar_cursor and flash_ok \
+                and _os.environ.get("QTTS_NU_ABLATE") is None:
+            # Per-lane cursors (continuous batching): append INSIDE the
+            # flash kernel via aliased outputs.  Every XLA-level form of a
+            # per-lane append (jnp advanced indexing AND raw layout-
+            # preserving lax.scatter) defeats in-place carry reuse and
+            # copies the full cache per layer — measured b=32 bulk decode
+            # 346 vs 17.8 ms/frame.  The kernel DMA-writes the new rows at
+            # (l, lane, cursor[lane]) into the donated cache buffer and
+            # folds the current token into the online softmax in-register
+            # (kernels/flash_decode._kernel_stacked_append).
+            from ..kernels.flash_decode import flash_gqa_decode_append
+            attn, k_all, v_all = flash_gqa_decode_append(
+                q[:, 0], k_all, v_all, k_new[:, :, 0], v_new[:, :, 0],
+                cache.lengths, write_vec, l, prompt_cap)
+            attn = attn.reshape(b, s, h * dh)
+            xx = xx + _mm(attn, p["wo"])
+            hn = rms_norm(xx, p["ln2"], cfg.rms_eps)
+            gu = _mm(hn, p["w_gate_up"])
+            f_half = gu.shape[-1] // 2
+            ff = jax.nn.silu(gu[..., :f_half]) * gu[..., f_half:]
+            xx = xx + _mm(ff, p["w_down"])
+            return (xx, k_all, v_all), None
         if scalar_cursor:
             k_all = jax.lax.dynamic_update_slice(
                 k_all, k_new[None], (l, 0, 0, write_at, 0))
             v_all = jax.lax.dynamic_update_slice(
                 v_all, v_new[None], (l, 0, 0, write_at, 0))
         else:
-            bi = jnp.arange(b)
-            k_all = k_all.at[l, bi, :, write_vec, :].set(k_new[:, :, 0])
-            v_all = v_all.at[l, bi, :, write_vec, :].set(v_new[:, :, 0])
+            # Per-lane cursor append via raw lax.scatter.  The obvious
+            # jnp form `.at[l, bi, :, write_vec, :].set(...)` mixes basic
+            # and advanced indices, so jnp transposes the advanced axes to
+            # the front — materializing full-cache copies per layer per
+            # step.  Measured on v5e at b=32: 339.8 vs 17.8 ms/frame
+            # against the uniform-cursor path (19x) — the entire reason
+            # continuous batching was host-"dispatch-bound" in round 3.
+            # A layout-preserving scatter (window over [Hkv, 1, Dh],
+            # indices (l, lane, cursor)) keeps the in-place update.
+            if _os.environ.get("QTTS_NU_ABLATE") == "dus":
+                # timing probe ONLY (wrong result for true ragged cursors):
+                # uniform-style DUS at lane 0's cursor, to isolate the
+                # scatter's in-context cost
+                k_all = jax.lax.dynamic_update_slice(
+                    k_all, k_new[None], (l, 0, 0, write_vec[0], 0))
+                v_all = jax.lax.dynamic_update_slice(
+                    v_all, v_new[None], (l, 0, 0, write_vec[0], 0))
+            else:
+                dnums = jax.lax.ScatterDimensionNumbers(
+                    update_window_dims=(1, 2, 3),
+                    inserted_window_dims=(0, 1),
+                    scatter_dims_to_operand_dims=(0, 1, 3))
+                idx = jnp.stack([jnp.full((b,), 0, jnp.int32) + l,
+                                 jnp.arange(b, dtype=jnp.int32),
+                                 write_vec], axis=1)       # [B, 3]
+                k_all = jax.lax.scatter(
+                    k_all, idx, k_new, dnums, indices_are_sorted=True,
+                    unique_indices=True,
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+                v_all = jax.lax.scatter(
+                    v_all, idx, v_new, dnums, indices_are_sorted=True,
+                    unique_indices=True,
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
         if flash_ok:
             attn = flash_gqa_decode_stacked(
