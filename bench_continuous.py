@@ -69,7 +69,10 @@ def main():
                            max_frames=(i % 3) * 16 + 32)   # 32/48/64
               for i in range(96)]
     batcher = ContinuousBatcher(eng, batch_size=32)
-    batcher.run(reqs96[:32])   # warm/compile the 32-lane programs
+    # warm/compile the 32-lane programs INCLUDING the refill path (48 on
+    # 32 lanes forces lane refills, so the batched-refill program and the
+    # group-size signatures compile here, not inside the timed run)
+    batcher.run(reqs96[:48])
     t0 = time.perf_counter()
     results = batcher.run(reqs96)
     dt = time.perf_counter() - t0

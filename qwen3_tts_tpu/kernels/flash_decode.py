@@ -425,6 +425,72 @@ def flash_gqa_decode_append(q: jnp.ndarray, k_all: jnp.ndarray,
     return out.reshape(b, hq, dh), k_out, v_out
 
 
+def _kernel_inject(lanes_ref, k_small, v_small, k_big_in, v_big_in,
+                   k_out, v_out, sems, *, n_layers: int, n_slots: int):
+    """Copy lane r's prefilled prompt KV rows [0, n_slots) into big-cache
+    lane lanes[r], straight HBM->HBM, one grid step per refill lane."""
+    r = pl.program_id(0)
+    lane = lanes_ref[r]
+    copies = []
+    for l in range(n_layers):
+        copies.append(pltpu.make_async_copy(
+            k_small.at[l, r], k_out.at[l, lane, :, pl.ds(0, n_slots), :],
+            sems.at[l, 0]))
+        copies.append(pltpu.make_async_copy(
+            v_small.at[l, r], v_out.at[l, lane, :, pl.ds(0, n_slots), :],
+            sems.at[l, 1]))
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+
+def inject_prompt_lanes(k_big: jnp.ndarray, v_big: jnp.ndarray,
+                        k_small: jnp.ndarray, v_small: jnp.ndarray,
+                        lanes: jnp.ndarray,
+                        interpret: bool = False) -> tuple:
+    """Scatter R freshly prefilled lanes' prompt KV into the big cache,
+    IN PLACE (aliased outputs) — the XLA fallback
+    (`cache.k.at[:, lanes].set(...)`) materializes full-cache copies, which
+    made each batched-refill round cost ~1.4 s at b=32 (the same
+    in-place-defeating scatter class fixed for decode appends by
+    _kernel_stacked_append).
+
+    k_small/v_small: [L, R, Hkv, S, Dh] compact prefill caches (capacity =
+    prompt bucket S); lanes: [R] target lanes, duplicates allowed with
+    identical data (grid steps serialize).  Returns (k_big', v_big').
+    """
+    L, r, hkv, s, dh = k_small.shape
+    assert s % 8 == 0, s
+    out_k, out_v = pl.pallas_call(
+        functools.partial(_kernel_inject, n_layers=L, n_slots=s),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(r,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            scratch_shapes=[pltpu.SemaphoreType.DMA((L, 2))],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(k_big.shape, k_big.dtype),
+            jax.ShapeDtypeStruct(v_big.shape, v_big.dtype),
+        ],
+        # flat operands: lanes(0) k_small(1) v_small(2) k_big(3) v_big(4)
+        input_output_aliases={3: 0, 4: 1},
+        interpret=interpret,
+    )(lanes.astype(jnp.int32), k_small.astype(k_big.dtype),
+      v_small.astype(v_big.dtype), k_big, v_big)
+    return out_k, out_v
+
+
 def use_flash_decode() -> bool:
     """Trace-time gate: Pallas TPU kernels only run on TPU backends."""
     import os

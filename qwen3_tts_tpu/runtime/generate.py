@@ -190,6 +190,20 @@ def gen_frames(cfg: EngineConfig, talker_params, predictor_params,
     Frames after a stream's EOS are generated but flagged invalid, mirroring
     the reference's early `break` (engine.rs:558-561) per stream.
     """
+    # Chunk-level megakernel: the whole n_frames loop (sampling + predictor
+    # + feedback + talker steps + codec head) in ONE Pallas launch
+    # (kernels/chunk_step.py).  Generator packs the prepped weights under
+    # talker_params["chunk"] when QTTS_FUSED_CHUNK=1 and the config
+    # qualifies; here we only need the per-call gates (batch, frame count,
+    # uniform cursor).
+    chunk_pack = (talker_params.get("chunk")
+                  if isinstance(talker_params, dict) else None)
+    if chunk_pack is not None and uniform_cursor:
+        from ..kernels import chunk_step as _cs
+        if _cs.supported(cfg.talker, cfg.predictor,
+                         int(state.hidden.shape[0]), n_frames):
+            return _gen_frames_chunk(cfg, talker_params, chunk_pack, state,
+                                     sampler, n_frames, prompt_cap)
     tables_1024 = assets_pack["codec_tables_1024"]
     proj_w = assets_pack["proj_w"].astype(jnp.float32)
     proj_b = assets_pack["proj_b"].astype(jnp.float32)
@@ -221,6 +235,59 @@ def gen_frames(cfg: EngineConfig, talker_params, predictor_params,
     state, (codes, valid) = jax.lax.scan(frame, state, None, length=n_frames)
     # scan stacks on axis 0: [n, B, ...] -> [B, n, ...]
     return state, jnp.transpose(codes, (1, 0, 2)), jnp.transpose(valid, (1, 0))
+
+
+def _gen_frames_chunk(cfg: EngineConfig, talker_params, chunk_pack,
+                      state: GenState, sampler: SamplerParams,
+                      n_frames: int, prompt_cap: int,
+                      interpret: bool = False,
+                      ) -> Tuple[GenState, jnp.ndarray, jnp.ndarray]:
+    """gen_frames through the chunk megakernel (kernels/chunk_step.py).
+
+    Key evolution mirrors the per-frame scan exactly (one split per frame);
+    the subkey feeds a uniform draw instead of jax.random.categorical, so
+    sampled sequences are distribution-equivalent but not draw-identical to
+    the XLA path (greedy is identical).  EOS/valid bookkeeping matches
+    gen_frames: the EOS frame itself is flagged invalid.
+    """
+    from ..kernels import chunk_step as _cs
+
+    b = state.hidden.shape[0]
+    key = state.key
+    us = []
+    for _ in range(n_frames):
+        key, sub = jax.random.split(key)
+        us.append(jax.random.uniform(sub, (b,), jnp.float32))
+    u = jnp.stack(us)                                   # [F, B]
+    sampler_vec = jnp.stack(
+        [sampler.temperature.astype(jnp.float32),
+         sampler.top_k.astype(jnp.float32),
+         sampler.top_p.astype(jnp.float32),
+         jnp.float32(0)]).reshape(1, 4)
+
+    cache = state.cache
+    codes, logits, hidden, k_new, v_new = _cs.gen_chunk_fused(
+        cfg.talker, cfg.predictor, talker_params, chunk_pack["pred_w"],
+        chunk_pack["extras"], state.logits, state.hidden, cache.k, cache.v,
+        cache.lengths, cache.write_idx[0], state.pos, u, sampler_vec,
+        n_frames=n_frames, prompt_cap=prompt_cap, interpret=interpret)
+
+    eos = codes[:, :, 0] == P.EOS                       # [B, F]
+    cum = jnp.cumsum(eos.astype(jnp.int32), axis=1) > 0
+    valid = ~(state.done[:, None] | cum)
+    done = state.done | cum[:, -1]
+
+    v_in = state.logits.shape[-1]
+    new_state = GenState(
+        cache=cache.replace(
+            k=k_new, v=v_new,
+            write_idx=cache.write_idx + jnp.int32(n_frames)),
+        logits=logits[:, :v_in].astype(state.logits.dtype),
+        hidden=hidden.astype(state.hidden.dtype),
+        pos=state.pos + jnp.int32(n_frames),
+        step=state.step + jnp.int32(n_frames),
+        done=done, key=key)
+    return new_state, codes, valid
 
 
 def _frame_emb_sum(codec_tables: jnp.ndarray, codes: jnp.ndarray) -> jnp.ndarray:
@@ -285,16 +352,22 @@ def prefill_lanes(cfg: EngineConfig, talker_params, embeds: jnp.ndarray,
     r, s_max, _ = embeds.shape
     lanes = jnp.asarray(lanes, jnp.int32)
     lengths = jnp.asarray(lengths, jnp.int32)
-    lane_cache = cache.replace(
-        k=jnp.take(cache.k, lanes, axis=1),
-        v=jnp.take(cache.v, lanes, axis=1),
-        write_idx=jnp.zeros((r,), jnp.int32),
-        lengths=lengths)
+    # Prefill into a COMPACT fresh cache (capacity = the prompt bucket) —
+    # the old contents of the refilled lanes are irrelevant (masked), and
+    # gathering/scattering full-capacity lanes through XLA advanced
+    # indexing copied the whole cache per refill round (~1.4 s at b=32).
+    lane_cache = talker_lib.init_talker_cache(cfg.talker, r, s_max)
+    lane_cache = lane_cache.replace(lengths=lengths)
     logits, hidden, lane_cache = talker_lib.talker_prefill(
         cfg.talker, talker_params, embeds, lengths, lane_cache)
+    # in-place lane injection (Pallas DMA kernel with aliased outputs;
+    # interpret-mode on CPU backends)
+    from ..kernels.flash_decode import inject_prompt_lanes, use_flash_decode
+    k_new, v_new = inject_prompt_lanes(
+        cache.k, cache.v, lane_cache.k, lane_cache.v, lanes,
+        interpret=not use_flash_decode())
     new_cache = cache.replace(
-        k=cache.k.at[:, lanes].set(lane_cache.k.astype(cache.k.dtype)),
-        v=cache.v.at[:, lanes].set(lane_cache.v.astype(cache.v.dtype)),
+        k=k_new, v=v_new,
         lengths=cache.lengths.at[lanes].set(lengths),
         write_idx=cache.write_idx.at[lanes].set(jnp.int32(s_max)))
     return state.replace(
@@ -441,6 +514,24 @@ class Generator:
                 self.talker_params["fused_" + _mode] = jax.jit(
                     functools.partial(_ts.prep_layer_weights, cfg.talker,
                                       weights=_mode))(talker_params)
+
+        # Chunk megakernel prep (QTTS_FUSED_CHUNK=1): predictor weights in
+        # resident w4a8 form + the static extras (codec head slice, proj,
+        # tables, rope rows).  Packed once here; gen_frames routes through
+        # kernels/chunk_step when the pack is present and the per-call
+        # gates (batch 1, uniform cursor, 1..8 frames) hold.
+        from ..kernels import chunk_step as _cs
+        if (_mode == "w4a8" and _cs.chunk_mode()
+                and _cs.supported(cfg.talker, cfg.predictor, 1,
+                                  cfg.runtime.frames_per_chunk)):
+            pred_w = jax.jit(functools.partial(
+                _cs.prep_predictor_w4, cfg.predictor))(predictor_params)
+            extras = _cs.prep_chunk_extras(
+                cfg.talker, cfg.predictor, talker_params, predictor_params,
+                assets_pack)
+            self.talker_params = dict(self.talker_params)
+            self.talker_params["chunk"] = {"pred_w": pred_w,
+                                           "extras": extras}
 
         self._prefill = jax.jit(
             functools.partial(prefill, cfg), static_argnames=())
@@ -630,14 +721,18 @@ class Generator:
                                   jnp.asarray(lane, jnp.int32), state)
 
     def refill_lanes(self, state: GenState, embeds_r: jnp.ndarray, lengths,
-                     lanes) -> GenState:
+                     lanes, pad_to: int = None) -> GenState:
         """Batched refill: prefill len(lanes) lanes in ONE device program.
         embeds_r: [R, S_max, 2048]; lengths/lanes: length-R sequences.  R is
-        padded up to a power of two (repeating row 0 — safe, see
-        prefill_lanes) so at most log2(B)+1 program signatures exist."""
+        padded by repeating row 0 (duplicate lane writes of identical data —
+        safe, see prefill_lanes): to `pad_to` when given (schedulers pass
+        their batch size so the refill program has ONE signature per bucket
+        — a mid-run Mosaic/XLA compile on a remote tunnel costs more than a
+        full-width prefill ever will), else to the next power of two."""
         import numpy as np
         r = int(embeds_r.shape[0])
-        rp = 1 << (r - 1).bit_length()
+        rp = pad_to if pad_to is not None else 1 << (r - 1).bit_length()
+        assert rp >= r, f"pad_to {rp} < refill group {r}"
         lengths = np.asarray(lengths, np.int32)
         lanes = np.asarray(lanes, np.int32)
         if rp != r:

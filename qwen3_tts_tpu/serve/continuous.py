@@ -130,8 +130,11 @@ class ContinuousBatcher:
         wavs = {i: [] for i in queue + first}
         frames = {i: 0 for i in queue + first}
 
-        fresh = True        # a start/refill just happened -> 1-chunk group
+        import os
+        trace = os.environ.get("QTTS_SCHED_TRACE") == "1"
+        fresh = True
         while True:
+            t_round = time.perf_counter()
             active = [i for i in range(b) if lane_req[i] is not None]
             if not active:
                 break
@@ -142,13 +145,23 @@ class ContinuousBatcher:
                 req = lane_req[lane]
                 budget = requests[req].max_frames or self.max_frames
                 rem[lane] = max(0, budget - frames[req])
-            min_rem_chunks = max(1, int(rem[active].min()) // n_chunk)
+            # Group size: sized to the soonest-finishing active lane's
+            # remaining chunks but floored at 4 — measured sweep on the
+            # 96-on-32 burst: pure min-sizing + 1-chunk-after-every-refill
+            # fragments the schedule (174 frames/s, p90 20 s) while pure
+            # 8-chunk groups idle finished lanes a whole group before
+            # refill (p50 4.8 s); the floor bounds a finished lane's idle
+            # at 3 chunks (~100 ms) without giving up group amortization.
+            # A single 1-chunk group right after the initial prefill gives
+            # the first wave chunk-granularity first audio.
+            min_chunks = max(1, int(rem[active].min()) // n_chunk)
             g = 1 if fresh else min(self.group_chunks,
-                                    _floor_pow2(min_rem_chunks))
+                                    max(4, _floor_pow2(min_chunks)))
 
             state, codes_np, valid_np, saw_eos_np = codec.run_group(
                 state, sampler, prompt_cap=bucket, n_frames=n_chunk,
                 max_frames=g * n_chunk, budgets=rem, uniform_cursor=False)
+            t_group = time.perf_counter() - t_round
 
             ks = np.zeros(b, np.int64)
             finals = np.zeros(b, bool)
@@ -194,14 +207,29 @@ class ContinuousBatcher:
             # budget) already carry done=True in-device; the refill resets
             # its lanes' done flags, and non-refilled finished lanes simply
             # stay done.
+            fresh = False
             if refills:
+                # Pad the refill group to the full batch width BEFORE
+                # prompt assembly (repeat entry 0 — duplicate lane writes
+                # of identical data are safe): prompt_to_device and the
+                # refill program then keep ONE compiled signature, instead
+                # of recompiling per distinct refill count (~1.5 s per new
+                # R on a remote-compile tunnel).
                 lanes_r = [l for l, _ in refills]
-                embeds_r, _ = eng.prompt_to_device(
-                    [plans[n] for _, n in refills], bucket)
-                lens_r = [min(plans[n].length, bucket) for _, n in refills]
+                plans_r = [plans[n] for _, n in refills]
+                while len(lanes_r) < b:
+                    lanes_r.append(lanes_r[0])
+                    plans_r.append(plans_r[0])
+                lens_r = [min(p.length, bucket) for p in plans_r]
+                embeds_r, _ = eng.prompt_to_device(plans_r, bucket)
                 state = eng.generator.refill_lanes(state, embeds_r, lens_r,
-                                                   lanes_r)
+                                                   lanes_r, pad_to=b)
                 codec.reset_lanes(refill_mask)
-            fresh = bool(refills)
+            if trace:
+                print(f"[sched] g={g} active={len(active)} "
+                      f"refills={len(refills)} kept={int(ks.sum())} "
+                      f"group={t_group*1e3:.0f}ms "
+                      f"round={(time.perf_counter()-t_round)*1e3:.0f}ms",
+                      flush=True)
 
         return queue
