@@ -294,6 +294,15 @@ def main() -> None:
     bytes_frame = (talker_bpp * talker_p + head_rows) \
         + pred_reads * pred_p + pred_head
     stream_gbps = bytes_frame / frame_s / 1e9
+    # Roofline fraction for the ACTUAL limiting resource of decode: HBM
+    # bandwidth.  bw_roofline_frac = frame-time-at-peak-bandwidth / achieved
+    # frame time (equivalently achieved GB/s / peak GB/s).  1.0 means the
+    # frame streams its mandatory weight bytes at the HBM ceiling — decode
+    # cannot go faster without shrinking the bytes.  Reported alongside mfu
+    # because mfu is misleading for a weight-stream-bound workload
+    # (VERDICT r3 "next round" #9).
+    V5E_HBM_PEAK_GBPS = 819.0
+    bw_roofline_frac = stream_gbps / V5E_HBM_PEAK_GBPS
     print(json.dumps({
         "metric": "rtf",
         "value": round(rtf, 4),
@@ -308,6 +317,7 @@ def main() -> None:
         "weights": f"int8+fused_{mode}" if mode else "int8",
         "mfu": round(mfu, 4),
         "weight_stream_gbps": round(stream_gbps, 1),
+        "bw_roofline_frac": round(bw_roofline_frac, 3),
         "pred_weight_reads_per_frame": pred_reads,
         "ms_per_frame": round(frame_s * 1000, 2),
         "streams_at_rtf_lt_1_measured": streams_rt,

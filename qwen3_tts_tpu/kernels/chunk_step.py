@@ -90,7 +90,9 @@ def _sample_inkernel(lg, u_col, temp, top_k, top_p):
         ge = cnt >= top_kf
         lo = jnp.where(ge, mid, lo)
         hi = jnp.where(ge, hi, mid)
-    keep_k = jnp.where(top_kf > 0, lg >= lo, jnp.bool_(True))
+    # logical-or instead of a boolean select: Mosaic has no legalization
+    # for arith.select on i1 vectors (hardware-only failure)
+    keep_k = (lg >= lo) | (top_kf <= 0)
 
     temp_c = jnp.maximum(jnp.asarray(temp, jnp.float32), 1e-6)
     scaled = jnp.where(keep_k, (lg - m) / temp_c, NEG_INF)
@@ -239,7 +241,9 @@ def _kernel(lengths_ref, start_ref,
         px = jnp.zeros((PB, DP), jnp.float32)
         pb_idx = jax.lax.broadcasted_iota(jnp.int32, (PB, DP), 0)
         for b in range(B):
-            row = jax.lax.dynamic_slice_in_dim(h1024, b, 1, axis=0)
+            # static slice: b is a Python int; lax.dynamic_slice has no
+            # Mosaic TC lowering (hardware-only failure, interpret passes)
+            row = jax.lax.slice_in_dim(h1024, b, b + 1, axis=0)
             px = jnp.where(pb_idx == b, row, px)
         px_sc[...] = px.astype(jnp.bfloat16)
 
@@ -381,10 +385,14 @@ def _kernel(lengths_ref, start_ref,
             sel = jnp.where(row == off, fbwin_sc[...].astype(jnp.float32),
                             0.0)
             fb = jnp.sum(sel, axis=(0, 1)) + tts_pad_ref[0]   # [DT] f32
-            bi2 = jax.lax.broadcasted_iota(jnp.int32, (BP, DT), 0)
-            x_sc[...] = jnp.where(bi2 == b, fb[None, :].astype(jnp.bfloat16),
-                                  x_sc[...] if b > 0
-                                  else jnp.zeros((BP, DT), jnp.bfloat16))
+            # static per-row store: a bf16 jnp.where with a broadcast i1
+            # mask hits an unimplemented Mosaic relayout on hardware
+            # ("replicated in destination but not in source", (8,128) i1
+            # -> (16,128)); interpret mode can't see it.  b is a Python
+            # int, so write the one row directly.
+            if b == 0:
+                x_sc[...] = jnp.zeros((BP, DT), jnp.bfloat16)
+            x_sc[b, :] = fb.astype(jnp.bfloat16)
 
     # ======================================================================
     # phases 1..GT: talker layers (talker_step.py schedule + chunk-local KV)
