@@ -137,6 +137,14 @@ class CodecDecoderConfig:
     upsample_factors: Tuple[int, ...] = (5, 5, 4, 4, 5)  # prod = 2000
     channels: Tuple[int, ...] = (1024, 512, 256, 128, 64)
     conv_kernel: int = 7
+    # Conv-transpose kernel width as a multiple of the stride.  1 = kernel
+    # == stride (no cross-input overlap, stateless stages — the fast
+    # default).  m > 1 = kernel == m*stride (BigVGAN/DAC-style overlapping
+    # transpose): streamed causally with a carried (m-1)*stride-sample
+    # overlap-add tail per stage, still exactly chunk-invariant — so if the
+    # real checkpoint's graph (onnx.rs:355-458) overlaps, the fused native
+    # path fits it instead of falling back to onnx_exec (VERDICT r3 #7).
+    upsample_kernel_mult: int = 1
     attn_window: int = 128  # sliding-window latent attention capacity (frames)
     dtype: str = "bfloat16"
 

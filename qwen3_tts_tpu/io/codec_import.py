@@ -234,6 +234,48 @@ def infer_name_map(initializers: Dict[str, np.ndarray],
     return rep
 
 
+def infer_upsample_mult(initializers: Dict[str, np.ndarray], cfg) -> int:
+    """Detect the conv-transpose kernel/stride ratio of a real decoder
+    export, so the fused native path can adopt overlapping geometry
+    (models.codec.decoder.upsample_overlap) instead of falling back to
+    onnx_exec when kernel != stride (VERDICT r3 #7).
+
+    Looks up each stage's `upsample_stages.{i}.up.weight` (torch
+    ConvTranspose1d [in, out, K]); falls back to shape-scanning for
+    [c_in, c_out, K] with K a multiple of that stage's stride.  Returns
+    the uniform multiple m (kernel == m*stride); raises CodecImportError
+    when stages disagree or a kernel is not a stride multiple (geometry
+    the streaming path cannot carry — use the onnx_exec path)."""
+    from ..models.codec.decoder import _stage_channels
+    mults = []
+    for i, ((c_in, c_out), r) in enumerate(zip(_stage_channels(cfg),
+                                               cfg.upsample_factors)):
+        name = f"upsample_stages.{i}.up.weight"
+        t = initializers.get(name)
+        if t is None:
+            cands = [np.asarray(v) for v in initializers.values()
+                     if np.asarray(v).ndim == 3
+                     and np.asarray(v).shape[:2] == (c_in, c_out)]
+            if len(cands) != 1:
+                raise CodecImportError(
+                    f"stage {i}: cannot locate conv-transpose weight "
+                    f"('{name}' absent, {len(cands)} shape candidates "
+                    f"[{c_in}, {c_out}, *])")
+            t = cands[0]
+        k = int(np.asarray(t).shape[-1])
+        if k % r != 0:
+            raise CodecImportError(
+                f"stage {i}: transpose kernel {k} is not a multiple of "
+                f"stride {r} — streaming overlap-add cannot carry it; "
+                f"route this checkpoint through io.onnx_exec")
+        mults.append(k // r)
+    if len(set(mults)) != 1:
+        raise CodecImportError(
+            f"non-uniform transpose kernel/stride ratios {mults}; set "
+            f"per-stage geometry manually or use io.onnx_exec")
+    return mults[0]
+
+
 def convert_codec(initializers: Dict[str, np.ndarray], cfg,
                   name_map: Optional[Dict[str, Entry]] = None,
                   init_fn=None, strict_unused: bool = False):

@@ -1018,11 +1018,16 @@ def reference_predict_frame_w4(pcfg, pred_w, pfn, phead_q, phead_s,
 # gates + public wrapper
 # --------------------------------------------------------------------------
 def chunk_mode() -> bool:
-    """QTTS_FUSED_CHUNK gate.  Opt-in (QTTS_FUSED_CHUNK=1) until the
-    kernel has a hardware bench record; requires the TPU backend (same
-    gate as the fused talker kernel)."""
+    """QTTS_FUSED_CHUNK gate.  Default ON on TPU backends (opt-out
+    QTTS_FUSED_CHUNK=0): measured on the v5e bulk path (b=1, 96 frames,
+    scripts/bench_chunk_bulk.py) the chunk kernel runs 2.63 ms/frame vs
+    2.96 for the per-kernel schedule — the per-launch machinery the fuse
+    removes (7 of 8 kernel entries per 4-frame chunk plus the XLA glue)
+    is worth ~0.33 ms/frame.  Same backend gate as the fused talker
+    kernel; greedy parity with the XLA chain is pinned in interpret mode
+    (tests/test_chunk_kernel.py)."""
     import os
-    if os.environ.get("QTTS_FUSED_CHUNK") != "1":
+    if os.environ.get("QTTS_FUSED_CHUNK", "1") != "1":
         return False
     from .flash_decode import use_flash_decode
     return use_flash_decode()

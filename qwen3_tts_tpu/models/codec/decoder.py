@@ -44,6 +44,10 @@ class DecoderState:
     count: jnp.ndarray        # [B] int32: frames decoded so far (per lane —
     #                           continuous batching refills lanes mid-flight)
     conv_hist: Tuple[jnp.ndarray, ...]  # per-causal-conv input history
+    # Overlapping conv-transpose (upsample_kernel_mult > 1) overlap-add
+    # tails: per stage [B, C_out, kernel - stride] of not-yet-emitted
+    # output accumulation.  Empty when kernel == stride.
+    up_tail: Tuple[jnp.ndarray, ...] = ()
 
 
 def _stage_channels(cfg: CodecDecoderConfig) -> List[Tuple[int, int]]:
@@ -86,9 +90,10 @@ def init_decoder_params(cfg: CodecDecoderConfig, key: jax.Array) -> Dict[str, An
         "b": jnp.zeros((k0,), dtype),
     }
     stages = []
+    m = int(getattr(cfg, "upsample_kernel_mult", 1))
     for (c_in, c_out), r in zip(_stage_channels(cfg), cfg.upsample_factors):
         stages.append({
-            "up_w": rnd((c_out, c_in, r), (c_in * r) ** -0.5),
+            "up_w": rnd((c_out, c_in, r * m), (c_in * r * m) ** -0.5),
             "up_b": jnp.zeros((c_out,), dtype),
             "alpha1": jnp.ones((c_out,), dtype),
             "conv1_w": rnd((c_out, c_out, cfg.conv_kernel),
@@ -117,12 +122,19 @@ def init_decoder_state(cfg: CodecDecoderConfig, params, batch: int) -> DecoderSt
         hists.append(jnp.zeros((batch, c_out, k - 1), dtype))    # res conv1
     c_last = _stage_channels(cfg)[-1][1]
     hists.append(jnp.zeros((batch, c_last, k - 1), dtype))       # out_conv
+    tails = []
+    m = int(getattr(cfg, "upsample_kernel_mult", 1))
+    if m > 1:
+        for (c_in, c_out), r in zip(_stage_channels(cfg),
+                                    cfg.upsample_factors):
+            tails.append(jnp.zeros((batch, c_out, (m - 1) * r), jnp.float32))
     return DecoderState(
         ring_k=jnp.zeros((l, batch, h, w, dh), dtype),
         ring_v=jnp.zeros((l, batch, h, w, dh), dtype),
         ring_pos=jnp.full((batch, w), -1, jnp.int32),
         count=jnp.zeros((batch,), jnp.int32),
         conv_hist=tuple(hists),
+        up_tail=tuple(tails),
     )
 
 
@@ -140,6 +152,7 @@ def reset_lanes(state: DecoderState, lane_mask: jnp.ndarray) -> DecoderState:
         ring_pos=jnp.where(m[:, None], -1, state.ring_pos),
         count=jnp.where(m, 0, state.count),
         conv_hist=tuple(zero_batch0(h) for h in state.conv_hist),
+        up_tail=tuple(zero_batch0(t) for t in state.up_tail),
     )
 
 
@@ -174,6 +187,41 @@ def upsample(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     y = y + b[None, :, None, None].astype(jnp.float32)
     bsz, c_out, t, r = y.shape
     return y.reshape(bsz, c_out, t * r).astype(x.dtype)
+
+
+def upsample_overlap(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                     tail: jnp.ndarray, stride: int,
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Overlapping causal conv-transpose: kernel == m*stride, m > 1.
+
+    x [B, C_in, T] -> [B, C_out, T*stride] via streamed overlap-add: each
+    input frame's kernel-wide contribution is split into m stride-wide
+    slabs, slab j lands j input-frames later; the last (m-1)*stride output
+    samples of the chunk stay un-emitted in `tail` (pre-bias accumulation)
+    and are completed by the next chunk — emitted samples therefore depend
+    only on current/past inputs.  Chunked == full to last-ulp float noise
+    (NOT bit-equal: XLA tiles the einsum's channel reduction per chunk
+    length, reassociating it; and for m >= 3 carried + fresh contributions
+    reassociate the overlap sum).  Semantics (= torch ConvTranspose1d
+    cropped causally to t*r outputs) and streaming invariance are pinned
+    by test_overlap_op_semantics_and_streaming.
+    """
+    k = w.shape[-1]
+    m = k // stride
+    assert k == m * stride and m >= 1, (k, stride)
+    bsz, _, t = x.shape
+    c_out = w.shape[0]
+    y = jnp.einsum("bct,ock->botk", x.astype(jnp.float32),
+                   w.astype(jnp.float32), preferred_element_type=jnp.float32)
+    y = y.reshape(bsz, c_out, t, m, stride)
+    acc = jnp.zeros((bsz, c_out, t + m - 1, stride), jnp.float32)
+    for j in range(m):
+        acc = acc.at[:, :, j:j + t].add(y[:, :, :, j])
+    acc = acc.reshape(bsz, c_out, (t + m - 1) * stride)
+    acc = acc.at[:, :, : (m - 1) * stride].add(tail)
+    out = acc[:, :, : t * stride] + b[None, :, None].astype(jnp.float32)
+    new_tail = acc[:, :, t * stride:]
+    return out.astype(x.dtype), new_tail
 
 
 def _transformer(cfg: CodecDecoderConfig, params, x: jnp.ndarray,
@@ -259,8 +307,14 @@ def decode_chunk(cfg: CodecDecoderConfig, params, codes: jnp.ndarray,
     y, hists[hi] = causal_conv(y, params["pre_conv"]["w"],
                                params["pre_conv"]["b"], hists[hi])
     hi += 1
-    for p_stage in params["stages"]:
-        y = upsample(y, p_stage["up_w"], p_stage["up_b"])
+    up_tails = list(state.up_tail)
+    for si, (p_stage, r) in enumerate(zip(params["stages"],
+                                          cfg.upsample_factors)):
+        if p_stage["up_w"].shape[-1] == r:        # kernel == stride: fast
+            y = upsample(y, p_stage["up_w"], p_stage["up_b"])
+        else:                                     # overlapping transpose
+            y, up_tails[si] = upsample_overlap(
+                y, p_stage["up_w"], p_stage["up_b"], up_tails[si], r)
         res = y
         y = snake(y, p_stage["alpha1"])
         y, hists[hi] = causal_conv(y, p_stage["conv1_w"], p_stage["conv1_b"],
@@ -273,7 +327,8 @@ def decode_chunk(cfg: CodecDecoderConfig, params, codes: jnp.ndarray,
     y, hists[hi] = causal_conv(y, params["out_conv"]["w"],
                                params["out_conv"]["b"], hists[hi])
     wav = jnp.tanh(y[:, 0, :].astype(jnp.float32))         # [B, N * spf]
-    return wav, state.replace(conv_hist=tuple(hists))
+    return wav, state.replace(conv_hist=tuple(hists),
+                              up_tail=tuple(up_tails))
 
 
 def decode_full(cfg: CodecDecoderConfig, params, codes: jnp.ndarray,

@@ -196,7 +196,9 @@ def tp_talker_step(cfg, mesh, talker_params, embed: jnp.ndarray,
                    pos: jnp.ndarray, k_all, v_all, lengths, write_at,
                    prompt_cap: int):
     """One sharded decode step: embed [B@data, 2048] -> (logits, hidden,
-    k_all, v_all)."""
+    k_all, v_all).  write_at: scalar (uniform cursor) or [B] per-lane
+    write cursors (continuous batching: refilled lanes restart at their
+    prompt boundary while others keep decoding)."""
     from ..models.talker import _codec_logits, _rope_tables
     n_model = _n_model(mesh)
 
@@ -207,19 +209,21 @@ def tp_talker_step(cfg, mesh, talker_params, embed: jnp.ndarray,
         dt = jnp.dtype(cfg.talker.dtype)
         hidden_all, k_all, v_all = tp_decoder_forward_local(
             cfg.talker, params, embed[:, None, :].astype(dt), cos, sin,
-            k_all, v_all, lengths, write_at[0], prompt_cap, n_model)
+            k_all, v_all, lengths, write_at, prompt_cap, n_model)
         hidden = hidden_all[:, 0]
         return _codec_logits(params, hidden), hidden, k_all, v_all
 
+    b = embed.shape[0]
+    write_at = jnp.broadcast_to(jnp.asarray(write_at, jnp.int32), (b,))
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(talker_in_specs(), P(DATA_AXIS), P(DATA_AXIS),
-                  kv_cache_spec(), kv_cache_spec(), P(DATA_AXIS), P()),
+                  kv_cache_spec(), kv_cache_spec(), P(DATA_AXIS),
+                  P(DATA_AXIS)),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS), kv_cache_spec(),
                    kv_cache_spec()),
         check_vma=False)
-    return fn(talker_params, embed, pos, k_all, v_all, lengths,
-              jnp.reshape(write_at, (1,)).astype(jnp.int32))
+    return fn(talker_params, embed, pos, k_all, v_all, lengths, write_at)
 
 
 def tp_predict_frame(cfg, mesh, predictor_params, h1024: jnp.ndarray,
@@ -324,8 +328,123 @@ def tp_gen_frames(cfg, mesh, talker_params, predictor_params,
     b = logits.shape[0]
     done0 = jnp.zeros((b,), bool)
     carry0 = (logits, hidden, k_all, v_all, pos.astype(jnp.int32),
-              jnp.asarray(write_at0, jnp.int32), done0, key)
+              jnp.broadcast_to(jnp.asarray(write_at0, jnp.int32), (b,)),
+              done0, key)
     carry, (codes, valid) = jax.lax.scan(frame, carry0, None,
                                          length=n_frames)
     return (jnp.transpose(codes, (1, 0, 2)), jnp.transpose(valid, (1, 0)),
             carry[:4])
+
+
+def tp_gen_bulk(cfg, mesh, talker_params, predictor_params, assets_pack,
+                logits, hidden, k_all, v_all, lengths, pos, write_at0,
+                done0, key, sampler, budgets, max_frames: int, chunk: int,
+                prompt_cap: int):
+    """Whole-request bulk generation under the TP mesh: a `lax.while_loop`
+    over `chunk`-frame groups with per-lane frame budgets and EOS
+    early-exit — the sharded counterpart of runtime.generate._gen_bulk
+    (the serving path's one-dispatch-per-request program).  pos/write_at0
+    may be per-lane [B] (continuous batching after refills).
+
+    Returns (codes [B, F, 16], valid [B, F], saw_eos [B],
+    (logits, hidden, k_all, v_all, pos, widx, done)) with F = max_frames
+    rounded up to whole chunks.
+    """
+    from ..core import protocol as P_
+
+    b = logits.shape[0]
+    budgets = jnp.broadcast_to(jnp.asarray(budgets, jnp.int32), (b,))
+    n_chunks = -(-max_frames // chunk)
+    f_cap = n_chunks * chunk
+    codes_buf = jnp.zeros((b, f_cap, P_.NUM_CODEBOOKS), jnp.int32)
+    valid_buf = jnp.zeros((b, f_cap), bool)
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (b,))
+    widx = jnp.broadcast_to(jnp.asarray(write_at0, jnp.int32), (b,))
+    saw_eos0 = jnp.zeros((b,), bool)
+    frames_in = jnp.zeros((b,), jnp.int32)
+
+    def cond(carry):
+        ci, done = carry[0], carry[-1]
+        return (ci < n_chunks) & ~jnp.all(done)
+
+    def body(carry):
+        (ci, logits, hidden, k_all, v_all, pos, widx, key, codes_buf,
+         valid_buf, saw_eos, frames_in, done) = carry
+        key, sub = jax.random.split(key)
+        prev_done = done
+        # One chunk of frames through the sharded frame loop.  done lanes
+        # keep generating dead frames (masked by `valid`), same contract
+        # as the unsharded bulk body.
+        codes, valid_c, (logits, hidden, k_all, v_all) = tp_gen_frames(
+            cfg, mesh, talker_params, predictor_params, assets_pack,
+            logits, hidden, k_all, v_all, lengths, pos, widx, sub, sampler,
+            n_frames=chunk, prompt_cap=prompt_cap)
+        eos_c = codes[:, :, 0] == P_.EOS                       # [B, chunk]
+        cum = jnp.cumsum(eos_c.astype(jnp.int32), axis=1) > 0
+        # frame column index within the whole request, per lane
+        col = frames_in[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None]
+        in_budget = col < budgets[:, None]
+        valid_c = valid_c & ~prev_done[:, None] & ~cum & in_budget
+        new_eos = ~prev_done & cum[:, -1]
+        saw_eos = saw_eos | new_eos
+        done = prev_done | cum[:, -1] | (col[:, -1] + 1 >= budgets)
+        codes_buf = jax.lax.dynamic_update_slice(
+            codes_buf, codes, (0, ci * chunk, 0))
+        valid_buf = jax.lax.dynamic_update_slice(
+            valid_buf, valid_c, (0, ci * chunk))
+        return (ci + 1, logits, hidden, k_all, v_all, pos + chunk,
+                widx + chunk, key, codes_buf, valid_buf, saw_eos,
+                frames_in + chunk, done)
+
+    carry0 = (jnp.int32(0), logits, hidden, k_all, v_all, pos, widx, key,
+              codes_buf, valid_buf, saw_eos0, frames_in,
+              jnp.asarray(done0, bool))
+    carry = jax.lax.while_loop(cond, body, carry0)
+    (_, logits, hidden, k_all, v_all, pos, widx, _, codes_buf, valid_buf,
+     saw_eos, _, done) = carry
+    return (codes_buf, valid_buf, saw_eos,
+            (logits, hidden, k_all, v_all, pos, widx, done))
+
+
+def tp_prefill_lanes(cfg, mesh, talker_params, embeds: jnp.ndarray,
+                     new_lengths: jnp.ndarray, lanes: jnp.ndarray,
+                     logits, hidden, k_all, v_all, lengths, pos, widx,
+                     done):
+    """Refill R lanes of a running TP-sharded batch with fresh prompts
+    (continuous batching's batched lane refill under the mesh,
+    runtime.generate.prefill_lanes counterpart).
+
+    embeds [R, S, 2048]; new_lengths/lanes [R] (distinct lanes).  Prefills
+    a COMPACT [R]-lane cache through the shard_map TP path, then scatters
+    the R lanes into the big state with data-sharded GSPMD updates (batch
+    axis only — no model collective is introduced; the kv head axis stays
+    untouched).  Returns the updated
+    (logits, hidden, k_all, v_all, lengths, pos, widx, done).
+    """
+    r, s, _ = embeds.shape
+    new_lengths = jnp.asarray(new_lengths, jnp.int32)
+    lanes = jnp.asarray(lanes, jnp.int32)
+    # Pad the refill group to a multiple of the data axis (shard_map needs
+    # the batch divisible): repeat row 0 — duplicate lane writes of
+    # identical data are benign, same contract as serve.continuous.
+    n_data = mesh.shape[DATA_AXIS]
+    r_pad = -(-r // n_data) * n_data
+    if r_pad != r:
+        pad = r_pad - r
+        embeds = jnp.concatenate(
+            [embeds, jnp.broadcast_to(embeds[:1], (pad,) + embeds.shape[1:])])
+        new_lengths = jnp.concatenate(
+            [new_lengths, jnp.broadcast_to(new_lengths[:1], (pad,))])
+        lanes = jnp.concatenate(
+            [lanes, jnp.broadcast_to(lanes[:1], (pad,))])
+    lg, hd, k_r, v_r = tp_talker_prefill(cfg, mesh, talker_params, embeds,
+                                         new_lengths, capacity=s)
+    k_all = k_all.at[:, lanes, :, :s].set(k_r.astype(k_all.dtype))
+    v_all = v_all.at[:, lanes, :, :s].set(v_r.astype(v_all.dtype))
+    return (logits.at[lanes].set(lg.astype(logits.dtype)),
+            hidden.at[lanes].set(hd.astype(hidden.dtype)),
+            k_all, v_all,
+            lengths.at[lanes].set(new_lengths),
+            pos.at[lanes].set(new_lengths),
+            widx.at[lanes].set(jnp.int32(s)),
+            done.at[lanes].set(False))

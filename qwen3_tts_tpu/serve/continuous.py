@@ -61,11 +61,28 @@ class ContinuousBatcher:
 
     def __init__(self, engine, batch_size: int = 8,
                  max_frames_per_stream: Optional[int] = None,
-                 group_chunks: int = 8):
+                 group_chunks: int = 8, mesh=None):
         self.engine = engine
         self.batch_size = int(batch_size)
         self.max_frames = max_frames_per_stream or engine.max_steps
         self.group_chunks = _floor_pow2(group_chunks)
+        self.mesh = mesh
+        if mesh is not None and mesh.size > 1:
+            # Same placement contract as serve.batch.BatchSynthesizer:
+            # weights follow the param specs (replicated at n_model=1, TP
+            # row-sharded otherwise), activations/KV shard their batch dim
+            # over "data" because prefill follows its embeds operand.
+            from ..parallel import mesh as mesh_lib
+            engine.talker_params = mesh_lib.place_params(
+                engine.talker_params, mesh, mesh_lib.talker_param_specs())
+            engine.predictor_params = mesh_lib.place_params(
+                engine.predictor_params, mesh,
+                mesh_lib.predictor_param_specs())
+            from ..runtime.generate import Generator
+            engine.generator = Generator(engine.config, engine.talker_params,
+                                         engine.predictor_params,
+                                         engine.assets.pack(),
+                                         codec_params=engine.codec_decoder_params)
 
     def run(self, requests: Sequence[BatchRequest]) -> List[BatchResult]:
         results: List[Optional[BatchResult]] = [None] * len(requests)
@@ -112,6 +129,10 @@ class ContinuousBatcher:
         while len(init_plans) < b:          # pad idle lanes with plan 0
             init_plans.append(init_plans[0])
         embeds, lens = eng.prompt_to_device(init_plans, bucket)
+        if self.mesh is not None and self.mesh.size > 1:
+            from ..parallel import mesh as mesh_lib
+            embeds = jax.device_put(embeds,
+                                    mesh_lib.batch_sharding(self.mesh))
         for slot, req in enumerate(first):
             lane_req[slot] = req
 
@@ -222,6 +243,10 @@ class ContinuousBatcher:
                     plans_r.append(plans_r[0])
                 lens_r = [min(p.length, bucket) for p in plans_r]
                 embeds_r, _ = eng.prompt_to_device(plans_r, bucket)
+                if self.mesh is not None and self.mesh.size > 1:
+                    from ..parallel import mesh as mesh_lib
+                    embeds_r = jax.device_put(
+                        embeds_r, mesh_lib.batch_sharding(self.mesh))
                 state = eng.generator.refill_lanes(state, embeds_r, lens_r,
                                                    lanes_r, pad_to=b)
                 codec.reset_lanes(refill_mask)

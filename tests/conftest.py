@@ -8,10 +8,23 @@ import os
 # the env var must be overwritten, not defaulted, and the config updated
 # post-import as well.
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+# The quick tier (`pytest -m quick`) never touches the virtual mesh (its
+# files are the single-device core-correctness subset), so it runs with ONE
+# CPU device: 8 virtual devices cost measurable per-program backend overhead
+# on the contended single-core CI box for zero coverage.  Full runs keep 8.
+import sys
+
+_argv = sys.argv
+_quick_run = any(
+    (a == "-m" and i + 1 < len(_argv) and "quick" in _argv[i + 1])
+    or (a.startswith("-m") and "quick" in a)
+    for i, a in enumerate(_argv))
+_n_dev = 1 if _quick_run else 8
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+        flags + f" --xla_force_host_platform_device_count={_n_dev}").strip()
 
 import jax
 

