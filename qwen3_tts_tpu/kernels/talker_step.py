@@ -154,14 +154,30 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
             out_ref, k_tok_ref, v_tok_ref,   # per-layer new-token k/v out
             x_sc, k_sc, v_sc, q3_sc, kn3_sc, vn3_sc, ctx_sc,
             wqkv_buf, wo_buf, gu_buf, dn_buf,
-            kv_sems, wsems,
-            *, cfg_static, wmode="int8", lps=1, ablate=None,
-            kv_prefetch=False, w2slot=False):
+            kv_sems, wsems, *sfold_scr,
+            cfg_static, wmode="int8", lps=1, ablate=None,
+            kv_prefetch=False, w2slot=False, sfold=False):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
     w8a8 = wmode == "w8a8"
+    if sfold:
+        # scale-fold mode: the w4a8 grouped scales live in HBM and stream
+        # through single-slot VMEM buffers on the SAME chained schedule as
+        # their weight matrices (start l+1 after layer l consumes the
+        # slot), replacing Mosaic's auto-pipelined per-grid-step scale
+        # blocks — part of the measured ~0.4 ms grid/machinery floor
+        # (DESIGN §11 step-floor attribution).
+        s_bufs = sfold_scr[:4]
+        ssems = sfold_scr[4]
+        s_hbms = (wqkv_s, wo_s, gu_s, dn_s)
 
-    def qmm(x, buf, s_ref, l, li):
+    def sdma(which, layer):
+        return pltpu.make_async_copy(s_hbms[which].at[layer],
+                                     s_bufs[which], ssems.at[which])
+
+    def qmm(x, buf, s_ref, l, li, which=0):
         if wmode == "w4a8":
+            if sfold:
+                return _qmm4(x, buf, s_bufs[which][...])
             # blocked scales: [lps, K/G, N] per grid step; load this
             # layer's [K/G, N] slice (dynamic untiled leading index)
             return _qmm4(x, buf, s_ref[li])
@@ -208,6 +224,8 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
         nw = {"mlp_nodma": 2, "min": 0}.get(ablate, 4)
         for w in range(nw):
             wdma(w, 0).start()
+            if sfold:
+                sdma(w, 0).start()
         if w2slot and L > 1:
             for w in range(nw):
                 wdma(w, 1).start()
@@ -249,13 +267,17 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
                 return x
             nxt = l + 2 if w2slot else l + 1
             wdma(2, l).wait()
+            if sfold:
+                sdma(2, l).wait()
             if ablate != "mlp":
                 hn2 = _rms(x, ln2_ref[l], EPS).astype(jnp.bfloat16)
-                gup = qmm(hn2, wbuf(2, l), gu_s, l, li)
+                gup = qmm(hn2, wbuf(2, l), gu_s, l, li, 2)
 
             @pl.when(nxt < L)
             def _():
                 wdma(2, nxt).start()
+                if sfold:
+                    sdma(2, l + 1).start()
 
             if ablate != "mlp":
                 f_half = gup.shape[-1] // 2
@@ -263,23 +285,31 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
                 ff = (gf * jax.nn.sigmoid(gf)).astype(jnp.bfloat16) \
                     * gup[:, f_half:]
             wdma(3, l).wait()
+            if sfold:
+                sdma(3, l).wait()
             if ablate != "mlp":
-                x = x + qmm(ff, wbuf(3, l), dn_s, l, li)
+                x = x + qmm(ff, wbuf(3, l), dn_s, l, li, 3)
 
             @pl.when(nxt < L)
             def _():
                 wdma(3, nxt).start()
+                if sfold:
+                    sdma(3, l + 1).start()
             return x
 
         # ---- qkv
         wdma(0, l).wait()
+        if sfold:
+            sdma(0, l).wait()
         hn = _rms(x, ln1_ref[l], EPS).astype(jnp.bfloat16)
-        qkv = qmm(hn, wbuf(0, l), wqkv_s, l, li)
+        qkv = qmm(hn, wbuf(0, l), wqkv_s, l, li, 0)
         nxt = l + 2 if w2slot else l + 1
 
         @pl.when(nxt < L)
         def _():
             wdma(0, nxt).start()
+            if sfold:
+                sdma(0, l + 1).start()
 
         q = qkv[:, :dq]
         k = qkv[:, dq: dq + dkv]
@@ -349,11 +379,15 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
             ctx_sc[...] = jnp.zeros_like(ctx_sc)
             ctx = ctx_sc[...]
             wdma(1, l).wait()
-            x = x + qmm(ctx.astype(jnp.bfloat16), wbuf(1, l), wo_s, l, li)
+            if sfold:
+                sdma(1, l).wait()
+            x = x + qmm(ctx.astype(jnp.bfloat16), wbuf(1, l), wo_s, l, li, 1)
 
             @pl.when(nxt < L)
             def _():
                 wdma(1, nxt).start()
+                if sfold:
+                    sdma(1, l + 1).start()
             return _mlp_tail(x, l, li)
 
         if not kv_prefetch:
@@ -470,11 +504,15 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
         ctx = ctx_sc[...]
 
         wdma(1, l).wait()
-        x = x + qmm(ctx.astype(jnp.bfloat16), wbuf(1, l), wo_s, l, li)
+        if sfold:
+            sdma(1, l).wait()
+        x = x + qmm(ctx.astype(jnp.bfloat16), wbuf(1, l), wo_s, l, li, 1)
 
         @pl.when(nxt < L)
         def _():
             wdma(1, nxt).start()
+            if sfold:
+                sdma(1, l + 1).start()
         return _mlp_tail(x, l, li)
 
     x = jax.lax.fori_loop(0, lps, layer_iter, x_sc[...])
@@ -487,9 +525,10 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg_static", "interpret", "wmode",
-                                    "lps", "ablate"))
+                                    "lps", "ablate", "sfold"))
 def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
-          cfg_static, interpret=False, wmode="int8", lps=1, ablate=None):
+          cfg_static, interpret=False, wmode="int8", lps=1, ablate=None,
+          sfold=False):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
     rep = H // HKV
     dq = H * DH
@@ -513,11 +552,15 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     wdt = layer_w["wqkv_q"].dtype        # int8 or bf16 (pre-dequantized)
     vmem_limit = (110 if wdt == jnp.int8 else 126) * 1024 * 1024
-    if wmode == "w4a8":
+    import os as _os
+    sfold = sfold and wmode == "w4a8"
+    if wmode == "w4a8" and not sfold:
         # [L, K/G, N] grouped scales stream lps layers' blocks per grid step
         scale_spec = lambda arr: pl.BlockSpec(
             (lps,) + arr.shape[1:], lambda g, *_: (g, 0, 0),
             memory_space=pltpu.VMEM)
+    elif sfold:
+        scale_spec = lambda arr: hbm
     else:
         # [L, N] per-output-channel rows, whole array VMEM-resident
         scale_spec = lambda arr: fixed(arr.shape)
@@ -541,12 +584,17 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
     # both) — the weight stream's per-transfer DMA rate, not the
     # consume-gated start, is the remaining limit — so this stays an
     # opt-in experiment for other hardware generations.
-    import os as _os
     w2slot = (kv_prefetch and wmode == "w4a8" and B <= 2
               and _os.environ.get("QTTS_TALKER_W2SLOT") == "1")
+    sfold = sfold and not w2slot     # w2slot keeps the blocked-scale form
     kernel = functools.partial(_kernel, cfg_static=cfg_static, wmode=wmode,
                                lps=lps, ablate=ablate,
-                               kv_prefetch=kv_prefetch, w2slot=w2slot)
+                               kv_prefetch=kv_prefetch, w2slot=w2slot,
+                               sfold=sfold)
+    sfold_scratch = [
+        pltpu.VMEM(layer_w[n].shape[1:], layer_w[n].dtype)
+        for n in ("wqkv_s", "wo_s", "gu_s", "dn_s")
+    ] + [pltpu.SemaphoreType.DMA((4,))] if sfold else []
     out, k_tok, v_tok = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -595,6 +643,7 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
                 pltpu.SemaphoreType.DMA((kv_slots, B, 2)),  # kv chunk dma
                 (pltpu.SemaphoreType.DMA((4, 2)) if w2slot
                  else pltpu.SemaphoreType.DMA((4,))),     # weight streams
+                *sfold_scratch,     # scale-fold: 4 scale bufs + semaphores
             ],
         ),
         out_shape=[
@@ -784,6 +833,7 @@ def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
                       lengths, write_idx, prompt_cap: int,
                       interpret: bool = False, weights: str = "int8",
                       lps: Optional[int] = None,
+                      sfold: Optional[bool] = None,
                       ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One decode step over all layers.
 
@@ -823,8 +873,16 @@ def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
         lps = 1
     from qwen3_tts_tpu.utils.debug import ablate_mode
     ablate = ablate_mode("QTTS_TALKER_ABLATE")
+    if sfold is None:
+        # Scale-fold (w4a8 only): stream the grouped scales from HBM with
+        # manual DMAs chained to their weight matrices, instead of
+        # Mosaic's auto-pipelined per-grid-step scale blocks (part of the
+        # measured ~0.4 ms machinery floor — DESIGN §11).  Opt-in
+        # QTTS_TALKER_SFOLD=1 until the hardware A/B lands.
+        import os
+        sfold = os.environ.get("QTTS_TALKER_SFOLD") == "1"
     return _call(x, cos_t.astype(jnp.float32),
                  sin_t.astype(jnp.float32), layer_w, cache_k, cache_v,
                  lengths, write_idx, cfg_static=cfg_static,
                  interpret=interpret, wmode=weights, lps=lps,
-                 ablate=ablate)
+                 ablate=ablate, sfold=sfold)

@@ -235,3 +235,27 @@ def test_kernel_lps_four_layers():
         cache.k, cache.v, cache.lengths, jnp.int32(pos), PCAP,
         interpret=True, weights="w4a8", lps=3)
     np.testing.assert_array_equal(np.asarray(fb[0]), np.asarray(ref[0]))
+
+
+def test_kernel_sfold_matches_blocked_scales(setup):
+    """Scale-fold (grouped scales streamed by manual DMA chained with the
+    weight stream, QTTS_TALKER_SFOLD) is a DMA-schedule change only —
+    bit-exact vs the auto-pipelined blocked-scale form, at lps 1 and 2."""
+    cfg, params = setup
+    b = 2
+    cache = _cache_with_history(cfg, b, [200, 512], 2, jax.random.PRNGKey(21))
+    x = jax.random.normal(jax.random.PRNGKey(22), (b, cfg.d_model),
+                          jnp.float32) * 0.3
+    pos = PCAP + 2
+    cos, sin = _rope(cfg, pos, b)
+    for lps in (1, 2):
+        ref = talker_step_fused(
+            cfg, params, x.astype(jnp.bfloat16), cos[:, 0], sin[:, 0],
+            cache.k, cache.v, cache.lengths, jnp.int32(pos), PCAP,
+            interpret=True, weights="w4a8", lps=lps, sfold=False)
+        got = talker_step_fused(
+            cfg, params, x.astype(jnp.bfloat16), cos[:, 0], sin[:, 0],
+            cache.k, cache.v, cache.lengths, jnp.int32(pos), PCAP,
+            interpret=True, weights="w4a8", lps=lps, sfold=True)
+        for a, r in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
