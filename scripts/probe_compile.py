@@ -21,6 +21,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 LOG = os.path.join(os.path.dirname(__file__), "probe_compile.log")
 
 
@@ -141,7 +143,9 @@ def main() -> None:
                     sin_t.astype(jnp.float32), layer_w, kc, vc,
                     lengths, pos, cfg_static=cfg_static, wmode=wmode,
                     lps=ts.layers_per_step(tcfg.n_layers),
-                    ablate=os.environ.get("QTTS_TALKER_ABLATE") or None)
+                    ablate=os.environ.get("QTTS_TALKER_ABLATE") or None,
+                    sfold=(wmode == "w4a8" and
+                           os.environ.get("QTTS_TALKER_SFOLD") == "1"))
                 return (h.astype(jnp.float32), kc, vc, pos + 1), h[0, 0]
             (xx, kc, vc, pos), ys = jax.lax.scan(
                 body, (x0, k_cache, v_cache, jnp.int32(PCAP)), None,
