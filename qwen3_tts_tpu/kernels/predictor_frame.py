@@ -445,9 +445,12 @@ def _prep_layer_weights(cfg, params) -> Dict[str, Any]:
 
 def supported(cfg, batch: int) -> bool:
     """Kernel constraints: decode-shaped batch, standard dims, TPU backend.
-    Larger batches keep the XLA path (weight streams amortize across
-    streams there, and the VMEM KV scratch stays small here)."""
-    return (batch <= 8
+    Serving batches up to 32 lanes run here too (r5): activations/KV gain
+    a batch dim that tiles cleanly and the weight read stays 1x/frame —
+    the XLA path would re-stream all layer weights 15x per frame.  Beyond
+    32 the per-lane serialized code->embedding DMA chain starts to bite;
+    those batches keep the XLA path."""
+    return (batch <= 32
             and cfg.n_residual_codebooks == 15
             and cfg.codebook_size == 2048
             and cfg.d_model % 128 == 0
@@ -465,7 +468,7 @@ def predict_frame_fused(cfg, params, h1024, code0, codec_tables_1024,
 
     B = h1024.shape[0]
     D = cfg.d_model
-    pad_b = max(8, B)
+    pad_b = max(8, -(-B // 8) * 8)      # whole 8-row sublane groups
     cfg_static = (cfg.n_layers, pad_b, cfg.n_heads, cfg.n_kv_heads,
                   cfg.head_dim, D, cfg.rms_eps)
 

@@ -156,7 +156,8 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
             wqkv_buf, wo_buf, gu_buf, dn_buf,
             kv_sems, wsems, *sfold_scr,
             cfg_static, wmode="int8", lps=1, ablate=None,
-            kv_prefetch=False, w2slot=False, sfold=False):
+            kv_prefetch=False, w2slot=False, sfold=False,
+            batched=False, ck=KV_CHUNK):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
     w8a8 = wmode == "w8a8"
     if sfold:
@@ -188,7 +189,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
     dq = H * DH
     dkv = HKV * DH
     start = start_ref[0]                   # uniform write cursor (slot of
-    n_chunks = pl.cdiv(start, KV_CHUNK)    # this token); prefix = [0, start)
+    n_chunks = pl.cdiv(start, ck)          # this token); prefix = [0, start)
 
     def wdma(which, layer):
         hbm, buf = [(wqkv_hbm, wqkv_buf), (wo_hbm, wo_buf),
@@ -208,15 +209,27 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
         return buf.at[jax.lax.rem(layer, 2)] if w2slot else buf
 
     def kv_dma_at(slot, ci, b, lyr):
-        """[HKV, KV_CHUNK, DH] chunk of lane b's cache for layer `lyr`."""
+        """[HKV, ck, DH] chunk of lane b's cache for layer `lyr`.  In
+        batched mode lane b's chunk lands in its column block
+        [b*ck, (b+1)*ck) of the fused-column scratch [HKV, B*ck, DH], so
+        the flash loop scores ALL lanes with ONE masked dot per chunk."""
+        if batched:
+            return (pltpu.make_async_copy(
+                        k_hbm.at[lyr, b, :, pl.ds(ci * ck, ck), :],
+                        k_sc.at[slot, :, pl.ds(b * ck, ck), :],
+                        kv_sems.at[slot, b, 0]),
+                    pltpu.make_async_copy(
+                        v_hbm.at[lyr, b, :, pl.ds(ci * ck, ck), :],
+                        v_sc.at[slot, :, pl.ds(b * ck, ck), :],
+                        kv_sems.at[slot, b, 1]))
         return (pltpu.make_async_copy(
-                    k_hbm.at[lyr, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
+                    k_hbm.at[lyr, b, :, pl.ds(ci * ck, ck), :],
                     k_sc.at[slot, b], kv_sems.at[slot, b, 0]),
                 pltpu.make_async_copy(
-                    v_hbm.at[lyr, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
+                    v_hbm.at[lyr, b, :, pl.ds(ci * ck, ck), :],
                     v_sc.at[slot, b], kv_sems.at[slot, b, 1]))
 
-    n_chunks_pf = pl.cdiv(start_ref[0], KV_CHUNK)
+    n_chunks_pf = pl.cdiv(start_ref[0], ck)
 
     @pl.when(g == 0)
     def _():
@@ -397,7 +410,65 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
                     for dma in kv_dma(0, 0, b):
                         dma.start()
 
-        def chunk_body(ci, carry):
+        if batched:
+            # ---- batched flash loop: ONE masked dot over the fused-column
+            # scratch per chunk (issue count independent of B), instead of
+            # B unrolled per-lane dots.  Column c of lane b sits at
+            # b*ck + c; rows keep the c*BP + b packing of q3.  Scores use
+            # bf16 q/k with f32 MXU accumulation (each bf16 product is
+            # exact in f32, so this matches the f32-dot path up to
+            # accumulation order); p rounds to bf16 for the pv dot — a
+            # ~2^-9 relative deviation, far under the w4a8 weight noise.
+            # Compute is B-fold redundant in columns (each row masks to
+            # its own lane's block), but decode attention is DMA-bound:
+            # the dot overlaps the next chunk's 2B lane DMAs.
+            cols = B * ck
+            c_ind = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cols), 2)
+            collane = c_ind // ck
+            colpos0 = c_ind % ck          # + ci*ck per chunk
+            lenrow = jnp.zeros((1, 1, cols), jnp.int32)
+            for b in range(B):
+                lenrow = jnp.where(collane == b, lengths_ref[b], lenrow)
+            rowlane = jax.lax.broadcasted_iota(
+                jnp.int32, (1, rep * BP, 1), 1) % BP
+            lane_match = rowlane == collane            # [1, rB, cols]
+            q3b = q3_sc[...]                           # bf16 [HKV, rB, DH]
+            inv_sqrt_dh = DH ** -0.5
+
+            def chunk_body(ci, carry):
+                m, s_sum, acc = carry
+                slot = jax.lax.rem(ci, 2)
+                nslot = jax.lax.rem(ci + 1, 2)
+
+                @pl.when(ci + 1 < n_chunks)
+                def _():
+                    for b in range(B):
+                        for dma in kv_dma(nslot, ci + 1, b):
+                            dma.start()
+                for b in range(B):
+                    for dma in kv_dma(slot, ci, b):
+                        dma.wait()
+                ks = k_sc[slot]                        # bf16 [HKV, cols, DH]
+                vs = v_sc[slot]
+                sb = jax.lax.dot_general(
+                    q3b, ks, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32) * inv_sqrt_dh
+                pos = ci * ck + colpos0
+                valid = lane_match & ((pos < lenrow)
+                                      | ((pos >= PCAP) & (pos < start)))
+                sb = jnp.where(valid, sb, NEG_INF)     # [HKV, rB, cols]
+                mb = jnp.maximum(m, jnp.max(sb, axis=2, keepdims=True))
+                p = jnp.exp(sb - mb)
+                alpha = jnp.exp(m - mb)
+                acc_n = acc * alpha + jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), vs, (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [HKV, rB, DH]
+                s_n = s_sum * alpha + jnp.sum(p, axis=2, keepdims=True)
+                return mb, s_n, acc_n
+        else:
+            chunk_body = None      # defined below (per-lane unrolled form)
+
+        def chunk_body_unrolled(ci, carry):
             m, s_sum, acc = carry
             # chunk 0 rides the cross-layer prefetch slot (2) when enabled
             slot = (jnp.where(ci == 0, 2, jax.lax.rem(ci, 2))
@@ -449,6 +520,9 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
                 s_new = jnp.where(rowb[:, :, :1], sb_sum, s_new)
                 acc_new = jnp.where(rowb[:, :, :1], ab, acc_new)
             return m_new, s_new, acc_new
+
+        if chunk_body is None:
+            chunk_body = chunk_body_unrolled
 
         rB = rep * BP
         m0 = jnp.full((HKV, rB, 1), NEG_INF, jnp.float32)
@@ -540,7 +614,12 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
     rows_gu = layer_w["gu_q"].shape[-2]
     rows_dn = layer_w["dn_q"].shape[-2]
     qkv_out = layer_w["wqkv_q"].shape[-1]
-    cap_pad = ((CAP + KV_CHUNK - 1) // KV_CHUNK) * KV_CHUNK
+    # Batched mode (B > 4): fused-column KV scratch, one dot per chunk.
+    # ck shrinks with B so the scratch stays ~2 slots x [HKV, B*ck, DH]
+    # x (k+v) <= ~34 MB against the 110 MB VMEM budget.
+    batched = B > 4
+    ck = max(128, 2048 // B) if batched else KV_CHUNK
+    cap_pad = ((CAP + ck - 1) // ck) * ck
     k_in, v_in = k_cache, v_cache
     if cap_pad != CAP:
         pad = [(0, 0), (0, 0), (0, 0), (0, cap_pad - CAP), (0, 0)]
@@ -572,7 +651,8 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
     # attn-variants replace the KV DMA schedule outright; the other
     # ablations compose with the prefetch so probes measure the
     # production schedule minus one component.
-    kv_prefetch = B <= 8 and ablate not in ("attn", "attn_keepdma", "min")
+    kv_prefetch = (not batched and B <= 8
+                   and ablate not in ("attn", "attn_keepdma", "min"))
     kv_slots = 3 if kv_prefetch else 2
     # Two-slot weight streaming (w4a8 only: packed int4 keeps the doubled
     # buffers ~48 MB; other modes would blow the VMEM budget): the next
@@ -590,7 +670,7 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
     kernel = functools.partial(_kernel, cfg_static=cfg_static, wmode=wmode,
                                lps=lps, ablate=ablate,
                                kv_prefetch=kv_prefetch, w2slot=w2slot,
-                               sfold=sfold)
+                               sfold=sfold, batched=batched, ck=ck)
     sfold_scratch = [
         pltpu.VMEM(layer_w[n].shape[1:], layer_w[n].dtype)
         for n in ("wqkv_s", "wo_s", "gu_s", "dn_s")
@@ -626,8 +706,12 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
             ],
             scratch_shapes=[
                 pltpu.VMEM((BP, D), jnp.bfloat16),        # x residual
-                pltpu.VMEM((kv_slots, B, HKV, KV_CHUNK, DH), jnp.bfloat16),
-                pltpu.VMEM((kv_slots, B, HKV, KV_CHUNK, DH), jnp.bfloat16),
+                (pltpu.VMEM((kv_slots, HKV, B * ck, DH), jnp.bfloat16)
+                 if batched
+                 else pltpu.VMEM((kv_slots, B, HKV, ck, DH), jnp.bfloat16)),
+                (pltpu.VMEM((kv_slots, HKV, B * ck, DH), jnp.bfloat16)
+                 if batched
+                 else pltpu.VMEM((kv_slots, B, HKV, ck, DH), jnp.bfloat16)),
                 pltpu.VMEM((HKV, rep * BP, DH), jnp.bfloat16),  # q3
                 pltpu.VMEM((HKV, BP, DH), jnp.bfloat16),  # k new
                 pltpu.VMEM((HKV, BP, DH), jnp.bfloat16),  # v new
@@ -784,12 +868,15 @@ def fused_mode() -> Optional[str]:
 
 
 def supported(cfg, batch: int, weights: str = "int8") -> bool:
-    """Decode-shaped single/few-stream batches with standard dims.  The
-    kernel unconditionally applies per-head RMS q/k-norm, so a config with
-    qk_norm=False must take the XLA path (the production talker always sets
-    it; this just hardens the gate).  w4a8 additionally needs every
-    contraction dim to split into whole 2*G-row nibble groups."""
-    ok = (batch <= 4
+    """Decode-shaped batches with standard dims: 1-4 lanes run the
+    per-lane-unrolled flash loop; 8/16/24/32 lanes run the batched
+    fused-column flash loop (serving batches share ONE weight stream —
+    the round-4 verdict's top item).  The kernel unconditionally applies
+    per-head RMS q/k-norm, so a config with qk_norm=False must take the
+    XLA path (the production talker always sets it; this just hardens the
+    gate).  w4a8 additionally needs every contraction dim to split into
+    whole 2*G-row nibble groups."""
+    ok = ((batch <= 4 or (batch % 8 == 0 and batch <= 32))
           and cfg.qk_norm
           and cfg.head_dim == 128
           and cfg.d_model % 128 == 0

@@ -196,6 +196,19 @@ def run_drills(model_dir, quant: str = "none", download: bool = False,
         inits = {k: np.asarray(v)
                  for k, v in read_onnx_initializers(path).items()}
         cfg = CodecDecoderConfig()
+        # Adopt the real export's conv-transpose geometry BEFORE converting:
+        # a checkpoint with overlapping kernels (kernel = m*stride, m > 1)
+        # imports into the native overlapping-upsample variant instead of
+        # failing to the onnx_exec path (the r4 advisor found the default
+        # upsample_kernel_mult=1 made the overlap variant unreachable here).
+        import dataclasses
+        try:
+            m = ci.infer_upsample_mult(inits, cfg)
+            if m != cfg.upsample_kernel_mult:
+                cfg = dataclasses.replace(cfg, upsample_kernel_mult=m)
+        except ci.CodecImportError:
+            pass    # geometry the streaming path cannot carry -> the
+            # convert below will surface it (or the name-map fallback runs)
         try:
             params = ci.convert_codec(inits, cfg,
                                       name_map=ci.decoder_name_map(cfg),

@@ -16,9 +16,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import sys
 
 _argv = sys.argv
+# Exact-match the marker expression: substring matching made
+# `-m "not quick"` (or any expression containing the word) silently run
+# with ONE device, which skips all 8-virtual-device mesh coverage.
+_FAST_EXPRS = {"quick", "smoke"}
 _quick_run = any(
-    (a == "-m" and i + 1 < len(_argv) and "quick" in _argv[i + 1])
-    or (a.startswith("-m") and "quick" in a)
+    (a == "-m" and i + 1 < len(_argv) and _argv[i + 1].strip() in _FAST_EXPRS)
+    or (a.startswith("-m") and len(a) > 2 and a[2:].strip() in _FAST_EXPRS)
     for i, a in enumerate(_argv))
 _n_dev = 1 if _quick_run else 8
 flags = os.environ.get("XLA_FLAGS", "")

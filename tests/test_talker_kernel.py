@@ -54,7 +54,10 @@ def _rope(cfg, pos, b):
 def test_supported_gate():
     cfg = TalkerConfig()
     assert supported(cfg, 1)
-    assert not supported(cfg, 16)
+    assert supported(cfg, 16)                     # batched fused-column mode
+    assert supported(cfg, 32)
+    assert not supported(cfg, 6)                  # not a whole 8-lane group
+    assert not supported(cfg, 48)                 # beyond the VMEM budget
     assert not supported(TalkerConfig.tiny(), 1)  # head_dim 16
 
 
@@ -259,3 +262,83 @@ def test_kernel_sfold_matches_blocked_scales(setup):
             interpret=True, weights="w4a8", lps=lps, sfold=True)
         for a, r in zip(got, ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
+
+
+@pytest.mark.parametrize("b,decoded", [(8, 0), (8, 3), (16, 2)])
+def test_kernel_batched_matches_xla(setup, b, decoded):
+    """Batched fused-column mode (B >= 8): one masked dot per chunk over
+    all lanes' columns must reproduce the XLA decode path per lane, with
+    mixed prompt lengths and live decode history."""
+    cfg, params = setup
+    lengths = [(64 * (i + 1)) % 512 or 512 for i in range(b)]
+    cache = _cache_with_history(cfg, b, lengths, decoded,
+                                jax.random.PRNGKey(31))
+    x = jax.random.normal(jax.random.PRNGKey(32), (b, 1, cfg.d_model),
+                          jnp.float32) * 0.3
+    pos = PCAP + decoded
+    cos, sin = _rope(cfg, pos, b)
+
+    hidden_ref, cache_ref = transformer.decoder_forward(
+        cfg, params, x.astype(jnp.bfloat16), cos, sin, cache,
+        prompt_cap=PCAP)
+
+    hidden1, k_new, v_new = talker_step_fused(
+        cfg, params, x[:, 0].astype(jnp.bfloat16), cos[:, 0], sin[:, 0],
+        cache.k, cache.v, cache.lengths, jnp.int32(pos), PCAP,
+        interpret=True)
+    from qwen3_tts_tpu.ops.norms import rms_norm
+    hidden = rms_norm(hidden1[:, None, :], params["final_norm"], cfg.rms_eps)
+    np.testing.assert_allclose(
+        np.asarray(hidden, np.float32), np.asarray(hidden_ref, np.float32),
+        rtol=0.05, atol=0.05)
+    # per-lane cache append matches; untouched slots preserved bit-for-bit
+    np.testing.assert_allclose(
+        np.asarray(k_new[:, :, :, pos, :], np.float32),
+        np.asarray(cache_ref.k[:, :, :, pos, :], np.float32),
+        rtol=0.03, atol=0.03)
+    mask = np.ones(CAP, bool)
+    mask[pos] = False
+    np.testing.assert_array_equal(
+        np.asarray(k_new[:, :, :, mask, :]),
+        np.asarray(cache.k[:, :, :, mask, :]))
+    np.testing.assert_array_equal(
+        np.asarray(v_new[:, :, :, mask, :]),
+        np.asarray(cache.v[:, :, :, mask, :]))
+
+
+def test_kernel_batched_lanes_match_single(setup):
+    """8 identical lanes through the batched kernel == the 1-lane kernel:
+    the fused-column masking must keep lanes fully isolated."""
+    cfg, params = setup
+    b = 8
+    cache1 = _cache_with_history(cfg, 1, [200], 2, jax.random.PRNGKey(41))
+    kb = jnp.broadcast_to(cache1.k, cache1.k.shape[:1] + (b,)
+                          + cache1.k.shape[2:])
+    vb = jnp.broadcast_to(cache1.v, cache1.v.shape[:1] + (b,)
+                          + cache1.v.shape[2:])
+    lengths_b = jnp.full((b,), 200, jnp.int32)
+    x1 = jax.random.normal(jax.random.PRNGKey(42), (1, cfg.d_model),
+                           jnp.float32) * 0.3
+    xb = jnp.broadcast_to(x1, (b, cfg.d_model))
+    pos = PCAP + 2
+    cos1, sin1 = _rope(cfg, pos, 1)
+    cosb, sinb = _rope(cfg, pos, b)
+
+    h1, k1, v1 = talker_step_fused(
+        cfg, params, x1.astype(jnp.bfloat16), cos1[:, 0], sin1[:, 0],
+        cache1.k, cache1.v, cache1.lengths, jnp.int32(pos), PCAP,
+        interpret=True, weights="w4a8")
+    hb, kbn, vbn = talker_step_fused(
+        cfg, params, xb.astype(jnp.bfloat16), cosb[:, 0], sinb[:, 0],
+        kb, vb, lengths_b, jnp.int32(pos), PCAP,
+        interpret=True, weights="w4a8")
+    # every batched lane agrees with every other lane...
+    for i in range(1, b):
+        np.testing.assert_array_equal(np.asarray(hb[i]), np.asarray(hb[0]))
+        np.testing.assert_array_equal(np.asarray(kbn[:, i]),
+                                      np.asarray(kbn[:, 0]))
+    # ...and tracks the single-lane kernel within attention-dtype noise
+    # (batched scores use bf16 MXU inputs; the 1-lane loop dots f32)
+    np.testing.assert_allclose(np.asarray(hb[0], np.float32),
+                               np.asarray(h1[0], np.float32),
+                               rtol=0.05, atol=0.05)

@@ -261,13 +261,20 @@ def test_tp_prefill_lanes_matches_fresh(serving_setup):
                                       (pad,) + new_embeds.shape[1:])])
     lens_ref = jnp.concatenate(
         [new_lens, jnp.broadcast_to(new_lens[:1], (pad,))])
+    # reference cache at the SAME capacity as the running state, so the
+    # post-refill step below writes in-bounds and its numerical parity
+    # assertion actually executes (the r4 advisor flagged the old
+    # compact-capacity ref as making that check dead code).
     ref_lg, ref_hd, ref_k, ref_v = tp_prefill_jit(cfg, mesh, sh_talker,
-                                                  emb_ref, lens_ref, s)
+                                                  emb_ref, lens_ref, cap)
     np.testing.assert_allclose(np.asarray(lg2[lanes]),
                                np.asarray(ref_lg[:2]),
                                atol=3e-4, rtol=3e-4)
-    np.testing.assert_array_equal(np.asarray(k3[:, lanes, :, :s]),
-                                  np.asarray(ref_k[:, :2]))
+    # allclose (not equal): the full-capacity ref prefill fuses its
+    # attention window differently -> fp32 rounding noise ~2e-6 abs
+    np.testing.assert_allclose(np.asarray(k3[:, lanes, :, :s]),
+                               np.asarray(ref_k[:, :2, :, :s]),
+                               atol=1e-5, rtol=1e-3)
     # untouched lanes identical
     keep = jnp.asarray([0, 2], jnp.int32)
     np.testing.assert_array_equal(np.asarray(lg2[keep]),
@@ -288,10 +295,6 @@ def test_tp_prefill_lanes_matches_fresh(serving_setup):
     ref_lg3, _, _, _ = tp_step_jit(
         cfg, mesh, sh_talker, emb_step_ref, lens_ref, ref_k, ref_v, lens_ref,
         jnp.full((n_data,), s, jnp.int32), s)
-    # Note: ref cache capacity is s (prompt-only) vs cap for the big state;
-    # the step writes at slot s which exceeds the compact capacity -> skip
-    # numerical check if shapes differ.
-    if ref_lg3[:2].shape == lg3[lanes].shape and cap == s:
-        np.testing.assert_allclose(np.asarray(lg3[lanes]),
-                                   np.asarray(ref_lg3[:2]), atol=3e-4,
-                                   rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(lg3[lanes]),
+                               np.asarray(ref_lg3[:2]), atol=3e-4,
+                               rtol=3e-4)
