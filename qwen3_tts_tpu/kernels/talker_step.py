@@ -157,7 +157,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
             kv_sems, wsems, *sfold_scr,
             cfg_static, wmode="int8", lps=1, ablate=None,
             kv_prefetch=False, w2slot=False, sfold=False,
-            batched=False, ck=KV_CHUNK):
+            batched=False, ck=KV_CHUNK, perlane=False):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
     w8a8 = wmode == "w8a8"
     if sfold:
@@ -188,7 +188,14 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
     rep = H // HKV
     dq = H * DH
     dkv = HKV * DH
-    start = start_ref[0]                   # uniform write cursor (slot of
+    if perlane:
+        # Per-lane cursors (continuous batching): chunk counts stream to
+        # the deepest lane's cursor; validity is masked per lane below.
+        start = start_ref[0]
+        for _b in range(1, B):
+            start = jnp.maximum(start, start_ref[_b])
+    else:
+        start = start_ref[0]               # uniform write cursor (slot of
     n_chunks = pl.cdiv(start, ck)          # this token); prefix = [0, start)
 
     def wdma(which, layer):
@@ -229,7 +236,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
                     v_hbm.at[lyr, b, :, pl.ds(ci * ck, ck), :],
                     v_sc.at[slot, b], kv_sems.at[slot, b, 1]))
 
-    n_chunks_pf = pl.cdiv(start_ref[0], ck)
+    n_chunks_pf = n_chunks
 
     @pl.when(g == 0)
     def _():
@@ -429,6 +436,13 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
             lenrow = jnp.zeros((1, 1, cols), jnp.int32)
             for b in range(B):
                 lenrow = jnp.where(collane == b, lengths_ref[b], lenrow)
+            if perlane:
+                startrow = jnp.zeros((1, 1, cols), jnp.int32)
+                for b in range(B):
+                    startrow = jnp.where(collane == b, start_ref[b],
+                                         startrow)
+            else:
+                startrow = start
             rowlane = jax.lax.broadcasted_iota(
                 jnp.int32, (1, rep * BP, 1), 1) % BP
             lane_match = rowlane == collane            # [1, rB, cols]
@@ -455,7 +469,7 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
                     preferred_element_type=jnp.float32) * inv_sqrt_dh
                 pos = ci * ck + colpos0
                 valid = lane_match & ((pos < lenrow)
-                                      | ((pos >= PCAP) & (pos < start)))
+                                      | ((pos >= PCAP) & (pos < startrow)))
                 sb = jnp.where(valid, sb, NEG_INF)     # [HKV, rB, cols]
                 mb = jnp.maximum(m, jnp.max(sb, axis=2, keepdims=True))
                 p = jnp.exp(sb - mb)
@@ -503,7 +517,8 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
                     q3, ks[b], (((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)  # [HKV, rB, CK]
                 valid = (c_idx < lengths_ref[b]) | \
-                    ((c_idx >= PCAP) & (c_idx < start))
+                    ((c_idx >= PCAP) &
+                     (c_idx < (start_ref[b] if perlane else start)))
                 sb = jnp.where(valid, sb, NEG_INF)
                 # mask other lanes' rows so their running stats don't move
                 rowb = jax.lax.broadcasted_iota(
@@ -599,10 +614,10 @@ def _kernel(lengths_ref, start_ref,                      # scalar prefetch
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg_static", "interpret", "wmode",
-                                    "lps", "ablate", "sfold"))
+                                    "lps", "ablate", "sfold", "perlane"))
 def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
           cfg_static, interpret=False, wmode="int8", lps=1, ablate=None,
-          sfold=False):
+          sfold=False, perlane=False):
     (L, B, BP, H, HKV, DH, D, EPS, CAP, PCAP) = cfg_static
     rep = H // HKV
     dq = H * DH
@@ -670,7 +685,8 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
     kernel = functools.partial(_kernel, cfg_static=cfg_static, wmode=wmode,
                                lps=lps, ablate=ablate,
                                kv_prefetch=kv_prefetch, w2slot=w2slot,
-                               sfold=sfold, batched=batched, ck=ck)
+                               sfold=sfold, batched=batched, ck=ck,
+                               perlane=perlane)
     sfold_scratch = [
         pltpu.VMEM(layer_w[n].shape[1:], layer_w[n].dtype)
         for n in ("wqkv_s", "wo_s", "gu_s", "dn_s")
@@ -738,7 +754,9 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(lengths.astype(jnp.int32), jnp.reshape(start, (1,)).astype(jnp.int32),
+    )(lengths.astype(jnp.int32),
+      (jnp.reshape(start, (B,)) if perlane
+       else jnp.reshape(start, (1,))).astype(jnp.int32),
       x0, cos, sin,
       layer_w["ln1"], layer_w["ln2"], layer_w["qn"], layer_w["kn"],
       layer_w["seg_q"], layer_w["seg_k"],
@@ -751,6 +769,13 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
         return out[:B], k_cache, v_cache
     k_tok = jnp.transpose(k_tok, (0, 2, 1, 3))[:, :B]     # [L, B, HKV, DH]
     v_tok = jnp.transpose(v_tok, (0, 2, 1, 3))[:, :B]
+    if perlane:
+        # per-lane cursors: aligned-window RMW append (the XLA per-lane
+        # scatter defeats in-place reuse — see flash_decode.append_kv_lanes)
+        from .flash_decode import append_kv_lanes
+        k_new, v_new = append_kv_lanes(k_cache, v_cache, k_tok, v_tok,
+                                       start, interpret=interpret)
+        return out[:B], k_new, v_new
     start_i = jnp.asarray(start, jnp.int32)
     k_new = jax.lax.dynamic_update_slice(
         k_cache, k_tok[:, :, :, None, :].astype(k_cache.dtype),
@@ -928,7 +953,9 @@ def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
     cos/sin [B, 1, DH] rope tables for the current position (uniform across
     batch is NOT required — but the kernel tiles lane-wise, so pass the
     per-head-identical [DH] row); cache_k/v [L, B, HKV, C, DH];
-    lengths [B]; write_idx scalar (uniform cursor).
+    lengths [B]; write_idx scalar (uniform cursor) OR [B] per-lane cursors
+    (continuous batching: validity masks go lane-wise and the append runs
+    through flash_decode.append_kv_lanes; requires cache capacity % 8).
     Returns (hidden [B, D] BEFORE final norm, k_cache, v_cache updated).
     """
     L = cfg.n_layers
@@ -968,8 +995,12 @@ def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
         # QTTS_TALKER_SFOLD=1 until the hardware A/B lands.
         import os
         sfold = os.environ.get("QTTS_TALKER_SFOLD") == "1"
+    perlane = jnp.ndim(write_idx) > 0
+    if perlane and cache_k.shape[3] % 8 != 0:
+        raise ValueError("per-lane cursors need cache capacity % 8 == 0, "
+                         f"got {cache_k.shape[3]}")
     return _call(x, cos_t.astype(jnp.float32),
                  sin_t.astype(jnp.float32), layer_w, cache_k, cache_v,
                  lengths, write_idx, cfg_static=cfg_static,
                  interpret=interpret, wmode=weights, lps=lps,
-                 ablate=ablate, sfold=sfold)
+                 ablate=ablate, sfold=sfold, perlane=perlane)

@@ -120,8 +120,12 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     import os as _os
     from ..kernels.talker_step import fused_mode as _fused_mode
     _mode = _fused_mode()
-    if (s == 1 and uniform_cursor and use_flash_decode()
-            and _mode is not None):
+    # The megakernel covers BOTH cursor regimes: uniform (single stream /
+    # wave batching; scalar write cursor, one fused dus append) and
+    # per-lane (continuous batching; lane-wise validity masks + the
+    # aligned-window RMW append of flash_decode.append_kv_lanes).
+    if (s == 1 and use_flash_decode() and _mode is not None
+            and (uniform_cursor or cache.k.shape[3] % 8 == 0)):
         from ..kernels import talker_step as _ts
         if _ts.supported(cfg, b, _mode):
             hidden1, k_new, v_new = _ts.talker_step_fused(

@@ -306,6 +306,89 @@ def test_kernel_batched_matches_xla(setup, b, decoded):
         np.asarray(cache.v[:, :, :, mask, :]))
 
 
+@pytest.mark.parametrize("b", [2, 8])
+def test_kernel_perlane_cursors_match_xla(setup, b):
+    """Per-lane cursor mode (continuous batching): each lane attends to its
+    OWN decode prefix [PCAP, start[b]) and appends at its own slot; the XLA
+    carry path with uniform_cursor=False is the exact reference.  Covers
+    both the unrolled (b=2) and fused-column batched (b=8) flash loops."""
+    cfg, params = setup
+    lengths = [(96 * (i + 1)) % 512 or 512 for i in range(b)]
+    decoded = [(3 * i) % 6 for i in range(b)]        # ragged cursors
+    cache = _cache_with_history(cfg, b, lengths, 0, jax.random.PRNGKey(51))
+    starts = jnp.asarray([PCAP + d for d in decoded], jnp.int32)
+    cache = cache.replace(write_idx=starts)
+    x = jax.random.normal(jax.random.PRNGKey(52), (b, 1, cfg.d_model),
+                          jnp.float32) * 0.3
+    # per-lane rope at each lane's own position
+    inv = jnp.asarray(inv_frequencies(cfg.head_dim, cfg.rope_theta))
+    sec = jnp.asarray(section_ids(cfg.mrope_sections))
+    p = starts[:, None]
+    pos4 = jnp.stack([p, p, p, jnp.zeros_like(p)], axis=-1)
+    cos, sin = mrope_cos_sin(pos4, inv, sec)
+
+    hidden_ref, cache_ref = transformer.decoder_forward(
+        cfg, params, x.astype(jnp.bfloat16), cos, sin, cache,
+        prompt_cap=PCAP, uniform_cursor=False)
+
+    hidden1, k_new, v_new = talker_step_fused(
+        cfg, params, x[:, 0].astype(jnp.bfloat16), cos[:, 0], sin[:, 0],
+        cache.k, cache.v, cache.lengths, starts, PCAP,
+        interpret=True)
+    from qwen3_tts_tpu.ops.norms import rms_norm
+    hidden = rms_norm(hidden1[:, None, :], params["final_norm"], cfg.rms_eps)
+    np.testing.assert_allclose(
+        np.asarray(hidden, np.float32), np.asarray(hidden_ref, np.float32),
+        rtol=0.05, atol=0.05)
+    # each lane's append lands at its OWN cursor; everything else preserved
+    for i in range(b):
+        s = PCAP + decoded[i]
+        np.testing.assert_allclose(
+            np.asarray(k_new[:, i, :, s, :], np.float32),
+            np.asarray(cache_ref.k[:, i, :, s, :], np.float32),
+            rtol=0.03, atol=0.03)
+        np.testing.assert_allclose(
+            np.asarray(v_new[:, i, :, s, :], np.float32),
+            np.asarray(cache_ref.v[:, i, :, s, :], np.float32),
+            rtol=0.03, atol=0.03)
+        mask = np.ones(CAP, bool)
+        mask[s] = False
+        np.testing.assert_array_equal(
+            np.asarray(k_new[:, i, :, mask, :]),
+            np.asarray(cache.k[:, i, :, mask, :]))
+        np.testing.assert_array_equal(
+            np.asarray(v_new[:, i, :, mask, :]),
+            np.asarray(cache.v[:, i, :, mask, :]))
+
+
+def test_append_kv_lanes_inplace():
+    """The standalone per-lane append kernel: written slots hold the new
+    rows, every other slot of every lane is preserved bit-for-bit."""
+    from qwen3_tts_tpu.kernels.flash_decode import append_kv_lanes
+    L, B, HKV, C, DH = 2, 4, 1, 64, 128
+    key = jax.random.PRNGKey(7)
+    k = jax.random.normal(key, (L, B, HKV, C, DH)).astype(jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 1),
+                          (L, B, HKV, C, DH)).astype(jnp.bfloat16)
+    kt = jax.random.normal(jax.random.fold_in(key, 2),
+                           (L, B, HKV, DH)).astype(jnp.bfloat16)
+    vt = jax.random.normal(jax.random.fold_in(key, 3),
+                           (L, B, HKV, DH)).astype(jnp.bfloat16)
+    starts = jnp.asarray([0, 7, 8, 63], jnp.int32)   # window edges
+    k2, v2 = append_kv_lanes(k, v, kt, vt, starts, interpret=True)
+    for i, s in enumerate([0, 7, 8, 63]):
+        np.testing.assert_array_equal(np.asarray(k2[:, i, :, s, :]),
+                                      np.asarray(kt[:, i]))
+        np.testing.assert_array_equal(np.asarray(v2[:, i, :, s, :]),
+                                      np.asarray(vt[:, i]))
+        mask = np.ones(C, bool)
+        mask[s] = False
+        np.testing.assert_array_equal(np.asarray(k2[:, i, :, mask, :]),
+                                      np.asarray(k[:, i, :, mask, :]))
+        np.testing.assert_array_equal(np.asarray(v2[:, i, :, mask, :]),
+                                      np.asarray(v[:, i, :, mask, :]))
+
+
 def test_kernel_batched_lanes_match_single(setup):
     """8 identical lanes through the batched kernel == the 1-lane kernel:
     the fused-column masking must keep lanes fully isolated."""
