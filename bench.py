@@ -303,7 +303,7 @@ def main() -> None:
     # (VERDICT r3 "next round" #9).
     V5E_HBM_PEAK_GBPS = 819.0
     bw_roofline_frac = stream_gbps / V5E_HBM_PEAK_GBPS
-    print(json.dumps({
+    final = {
         "metric": "rtf",
         "value": round(rtf, 4),
         "unit": "gen_time/audio_time",
@@ -326,7 +326,62 @@ def main() -> None:
         "clone_prefill_ms_4096": clone_prefill_ms,
         "rtf_long_512f": rtf_long,
         "baseline_rtf": BASELINE_RTF,
-    }))
+    }
+    # Insurance line BEFORE the serving burst (compiles the continuous-
+    # batching program family — several minutes cold): if the harness kills
+    # the run mid-serving, this line still carries every metric above.
+    print(json.dumps(dict(final, partial="serving burst pending")),
+          flush=True)
+
+    # Ragged-traffic serving burst (96 requests on 32 lanes, budgets
+    # 32/48/64 frames) through the continuous batcher — the concurrency
+    # story that replaces the reference's single background decoder thread
+    # (src/tts/engine.rs:487-543).  Driver-visible: VERDICT r4 noted these
+    # numbers previously lived only in commit messages.
+    try:
+        import pathlib
+        import tempfile
+
+        from qwen3_tts_tpu.core.config import SamplerConfig
+        from qwen3_tts_tpu.engine import TtsEngine
+        from qwen3_tts_tpu.io.voice_file import VoiceFile
+        from qwen3_tts_tpu.serve.batch import BatchRequest
+        from qwen3_tts_tpu.serve.continuous import ContinuousBatcher
+
+        tmp = pathlib.Path(tempfile.mkdtemp())
+        (tmp / "preset_speakers").mkdir()
+        vf = VoiceFile.new("", [], (np.random.default_rng(0)
+                                    .standard_normal(2048)
+                                    .astype(np.float32) * 0.02))
+        vf.name = "vivian"
+        vf.save(tmp / "preset_speakers" / "vivian.json")
+        eng = TtsEngine(model_dir=tmp, config=EngineConfig(int8_weights=True))
+        eng.set_max_steps(64)
+        eng.set_sampler_config(SamplerConfig(seed=0))
+        voice = eng.get_speaker("vivian")
+        reqs96 = [BatchRequest(f"stream {i}", voice,
+                               max_frames=(i % 3) * 16 + 32)
+                  for i in range(96)]
+        batcher = ContinuousBatcher(eng, batch_size=32)
+        batcher.run(reqs96[:48])              # warm incl. the refill path
+        t0 = time.perf_counter()
+        results = batcher.run(reqs96)
+        dt = time.perf_counter() - t0
+        s_frames = sum(r.frames for r in results)
+        ttfts = sorted(r.ttft_ms for r in results if r.ttft_ms is not None)
+        pct = lambda q: ttfts[min(len(ttfts) - 1,
+                                  round(q * (len(ttfts) - 1)))]
+        final["serving"] = {
+            "workload": "96on32_ragged_32_48_64f",
+            "wall_s": round(dt, 2),
+            "frames_per_s": round(s_frames / dt, 1),
+            "audio_s_per_s": round(s_frames / 12.0 / dt, 2),
+            "ttft_ms_p50": pct(0.5), "ttft_ms_p90": pct(0.9),
+            "ttft_ms_max": ttfts[-1],
+        }
+    except Exception as e:
+        final["serving"] = {"error": str(e)[:200]}
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":

@@ -157,7 +157,7 @@ def _kernel(lengths_ref, start_ref,
             wqkv_buf, wo_buf, gu_buf, dn_buf,
             px_sc, pk_sc, pv_sc, pwin_sc, phw_sc, fbwin_sc, pcodes_sc,
             kv_sems, wsems, phsem, ptsem, fbsem,
-            *, cfg_static):
+            *, cfg_static, batched=False, ck=KV_CHUNK):
     (LT, B, BP, HT, HKVT, DHT, DT, EPS, CAP, PCAP,
      LP, PB, HP, HKVP, DHP, DP, F, lps, R_FB, R_PD) = cfg_static
 
@@ -173,7 +173,7 @@ def _kernel(lengths_ref, start_ref,
     pdkv = HKVP * DHP
 
     start = start_ref[0]
-    n_chunks = pl.cdiv(start, KV_CHUNK)
+    n_chunks = pl.cdiv(start, ck)
 
     # ---------------- talker weight / KV DMA plumbing (talker_step.py) ----
     def wdma(which, layer):
@@ -182,11 +182,24 @@ def _kernel(lengths_ref, start_ref,
         return pltpu.make_async_copy(hbm.at[layer], buf, wsems.at[which])
 
     def kv_dma_at(slot, ci, b, lyr):
+        """Batched mode: lane b's chunk lands in its column block
+        [b*ck, (b+1)*ck) of the fused-column scratch [HKV, B*ck, DH] —
+        the flash loop scores ALL lanes with ONE masked dot per chunk
+        (talker_step.py batched schedule)."""
+        if batched:
+            return (pltpu.make_async_copy(
+                        k_hbm.at[lyr, b, :, pl.ds(ci * ck, ck), :],
+                        k_sc.at[slot, :, pl.ds(b * ck, ck), :],
+                        kv_sems.at[slot, b, 0]),
+                    pltpu.make_async_copy(
+                        v_hbm.at[lyr, b, :, pl.ds(ci * ck, ck), :],
+                        v_sc.at[slot, :, pl.ds(b * ck, ck), :],
+                        kv_sems.at[slot, b, 1]))
         return (pltpu.make_async_copy(
-                    k_hbm.at[lyr, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
+                    k_hbm.at[lyr, b, :, pl.ds(ci * ck, ck), :],
                     k_sc.at[slot, b], kv_sems.at[slot, b, 0]),
                 pltpu.make_async_copy(
-                    v_hbm.at[lyr, b, :, pl.ds(ci * KV_CHUNK, KV_CHUNK), :],
+                    v_hbm.at[lyr, b, :, pl.ds(ci * ck, ck), :],
                     v_sc.at[slot, b], kv_sems.at[slot, b, 1]))
 
     # ======================================================================
@@ -213,14 +226,15 @@ def _kernel(lengths_ref, start_ref,
             @pl.when(n_chunks > 0)
             def _():
                 for b in range(B):
-                    for dma in kv_dma_at(2, 0, b, 0):
+                    for dma in kv_dma_at(0 if batched else 2, 0, b, 0):
                         dma.start()
 
-            @pl.when(n_chunks > 1)
-            def _():
-                for b in range(B):
-                    for dma in kv_dma_at(1, 1, b, 0):
-                        dma.start()
+            if not batched:
+                @pl.when(n_chunks > 1)
+                def _():
+                    for b in range(B):
+                        for dma in kv_dma_at(1, 1, b, 0):
+                            dma.start()
 
         # ---- sample code_0 (uniform u drawn outside; see module doc)
         lg = logits_sc[...]
@@ -468,48 +482,98 @@ def _kernel(lengths_ref, start_ref,
 
             q3 = q3_sc[...].astype(jnp.float32) * (DHT ** -0.5)
 
-            def chunk_body(ci, carry):
-                m, s_sum, acc = carry
-                slot = jnp.where(ci == 0, 2, jax.lax.rem(ci, 2))
-                nslot = jax.lax.rem(ci + 1, 2)
+            if batched:
+                # ---- batched flash loop (talker_step.py): ONE masked dot
+                # over the fused-column scratch per chunk; bf16 q/k with
+                # f32 MXU accumulation, p rounds to bf16 for the pv dot.
+                cols = B * ck
+                c_ind = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cols), 2)
+                collane = c_ind // ck
+                colpos0 = c_ind % ck
+                lenrow = jnp.zeros((1, 1, cols), jnp.int32)
+                for b in range(B):
+                    lenrow = jnp.where(collane == b, lengths_ref[b], lenrow)
+                rowlane = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, rep * BP, 1), 1) % BP
+                lane_match = rowlane == collane
+                q3b = q3_sc[...]                       # bf16 [HKVT, rB, DHT]
+                inv_sqrt_dh = DHT ** -0.5
 
-                @pl.when(jnp.logical_and(ci + 1 < n_chunks, ci >= 1))
-                def _():
+                def chunk_body(ci, carry):
+                    m, s_sum, acc = carry
+                    slot = jax.lax.rem(ci, 2)
+                    nslot = jax.lax.rem(ci + 1, 2)
+
+                    @pl.when(ci + 1 < n_chunks)
+                    def _():
+                        for b in range(B):
+                            for dma in kv_dma_at(nslot, ci + 1, b, l):
+                                dma.start()
                     for b in range(B):
-                        for dma in kv_dma_at(nslot, ci + 1, b, l):
-                            dma.start()
-
-                for b in range(B):
-                    for dma in kv_dma_at(slot, ci, b, l):
-                        dma.wait()
-
-                ks = k_sc[slot].astype(jnp.float32)
-                vs = v_sc[slot].astype(jnp.float32)
-                c_idx = ci * KV_CHUNK + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, 1, KV_CHUNK), 2)
-                m_new, s_new, acc_new = m, s_sum, acc
-                for b in range(B):
+                        for dma in kv_dma_at(slot, ci, b, l):
+                            dma.wait()
+                    ks = k_sc[slot]                    # bf16 [HKVT, cols, DHT]
+                    vs = v_sc[slot]
                     sb = jax.lax.dot_general(
-                        q3, ks[b], (((2,), (2,)), ((0,), (0,))),
-                        preferred_element_type=jnp.float32)
-                    valid = (c_idx < lengths_ref[b]) | \
-                        ((c_idx >= PCAP) & (c_idx < start))
+                        q3b, ks, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32) * inv_sqrt_dh
+                    cpos = ci * ck + colpos0
+                    valid = lane_match & ((cpos < lenrow)
+                                          | ((cpos >= PCAP) & (cpos < start)))
                     sb = jnp.where(valid, sb, NEG_INF)
-                    rowb = jax.lax.broadcasted_iota(
-                        jnp.int32, sb.shape, 1) % BP == b
-                    sb = jnp.where(rowb, sb, NEG_INF)
                     mb = jnp.maximum(m, jnp.max(sb, axis=2, keepdims=True))
                     pe = jnp.exp(sb - mb)
                     alpha = jnp.exp(m - mb)
-                    ab = acc * alpha + jax.lax.dot_general(
-                        pe, vs[b], (((2,), (1,)), ((0,), (0,))),
+                    acc_n = acc * alpha + jax.lax.dot_general(
+                        pe.astype(jnp.bfloat16), vs,
+                        (((2,), (1,)), ((0,), (0,))),
                         preferred_element_type=jnp.float32)
-                    sb_sum = s_sum * alpha + jnp.sum(pe, axis=2,
-                                                     keepdims=True)
-                    m_new = jnp.where(rowb[:, :, :1], mb, m_new)
-                    s_new = jnp.where(rowb[:, :, :1], sb_sum, s_new)
-                    acc_new = jnp.where(rowb[:, :, :1], ab, acc_new)
-                return m_new, s_new, acc_new
+                    s_n = s_sum * alpha + jnp.sum(pe, axis=2, keepdims=True)
+                    return mb, s_n, acc_n
+            else:
+                def chunk_body(ci, carry):
+                    m, s_sum, acc = carry
+                    slot = jnp.where(ci == 0, 2, jax.lax.rem(ci, 2))
+                    nslot = jax.lax.rem(ci + 1, 2)
+
+                    @pl.when(jnp.logical_and(ci + 1 < n_chunks, ci >= 1))
+                    def _():
+                        for b in range(B):
+                            for dma in kv_dma_at(nslot, ci + 1, b, l):
+                                dma.start()
+
+                    for b in range(B):
+                        for dma in kv_dma_at(slot, ci, b, l):
+                            dma.wait()
+
+                    ks = k_sc[slot].astype(jnp.float32)
+                    vs = v_sc[slot].astype(jnp.float32)
+                    c_idx = ci * ck + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, ck), 2)
+                    m_new, s_new, acc_new = m, s_sum, acc
+                    for b in range(B):
+                        sb = jax.lax.dot_general(
+                            q3, ks[b], (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+                        valid = (c_idx < lengths_ref[b]) | \
+                            ((c_idx >= PCAP) & (c_idx < start))
+                        sb = jnp.where(valid, sb, NEG_INF)
+                        rowb = jax.lax.broadcasted_iota(
+                            jnp.int32, sb.shape, 1) % BP == b
+                        sb = jnp.where(rowb, sb, NEG_INF)
+                        mb = jnp.maximum(m, jnp.max(sb, axis=2,
+                                                    keepdims=True))
+                        pe = jnp.exp(sb - mb)
+                        alpha = jnp.exp(m - mb)
+                        ab = acc * alpha + jax.lax.dot_general(
+                            pe, vs[b], (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+                        sb_sum = s_sum * alpha + jnp.sum(pe, axis=2,
+                                                         keepdims=True)
+                        m_new = jnp.where(rowb[:, :, :1], mb, m_new)
+                        s_new = jnp.where(rowb[:, :, :1], sb_sum, s_new)
+                        acc_new = jnp.where(rowb[:, :, :1], ab, acc_new)
+                    return m_new, s_new, acc_new
 
             rB = rep * BP
             m0 = jnp.full((HKVT, rB, 1), NEG_INF, jnp.float32)
@@ -520,20 +584,23 @@ def _kernel(lengths_ref, start_ref,
 
             # cross-layer/frame KV prefetch for the NEXT layer (wraps to
             # layer 0 of the next frame; the wrapped DMAs span the whole
-            # expand phase of frame f+1)
+            # expand phase of frame f+1).  Batched mode has 2 KV slots:
+            # only chunk 0 crosses layers (slot 0 is free once the loop
+            # above has consumed every chunk).
             nxt_exists = (l + 1 < LT) | (f < F - 1)
 
             @pl.when(jnp.logical_and(nxt_exists, n_chunks > 0))
             def _():
                 for b in range(B):
-                    for dma in kv_dma_at(2, 0, b, nl):
+                    for dma in kv_dma_at(0 if batched else 2, 0, b, nl):
                         dma.start()
 
-            @pl.when(jnp.logical_and(nxt_exists, n_chunks > 1))
-            def _():
-                for b in range(B):
-                    for dma in kv_dma_at(1, 1, b, nl):
-                        dma.start()
+            if not batched:
+                @pl.when(jnp.logical_and(nxt_exists, n_chunks > 1))
+                def _():
+                    for b in range(B):
+                        for dma in kv_dma_at(1, 1, b, nl):
+                            dma.start()
 
             # chunk-local columns: frames 0..f of THIS chunk (frame f's own
             # token was written above — always self-visible; earlier frames
@@ -628,7 +695,13 @@ def _call(logits0, hidden0, cos, sin, layer_w, pred_w, extras,
     p_rows_dn = pred_w["dn_q"].shape[-2]
     p_qkv_out = pred_w["wqkv_q"].shape[-1]
 
-    cap_pad = ((CAP + KV_CHUNK - 1) // KV_CHUNK) * KV_CHUNK
+    # Batched mode (B > 4): fused-column KV scratch (2 slots), one masked
+    # dot per chunk; ck shrinks with B to hold the VMEM budget
+    # (talker_step.py batched schedule).
+    batched = B > 4
+    ck = max(128, 2048 // B) if batched else KV_CHUNK
+    kv_slots = 2 if batched else 3
+    cap_pad = ((CAP + ck - 1) // ck) * ck
     k_in, v_in = k_cache, v_cache
     if cap_pad != CAP:
         pad = [(0, 0), (0, 0), (0, 0), (0, cap_pad - CAP), (0, 0)]
@@ -648,7 +721,8 @@ def _call(logits0, hidden0, cos, sin, layer_w, pred_w, extras,
         lambda f_, p_, *_: (f_, jnp.maximum(p_ - 1, 0), 0, 0, 0),
         memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_kernel, cfg_static=cfg_static)
+    kernel = functools.partial(_kernel, cfg_static=cfg_static,
+                               batched=batched, ck=ck)
 
     codes, logits_out, hidden_out, k_tok, v_tok, plog, pxt = pl.pallas_call(
         kernel,
@@ -715,8 +789,14 @@ def _call(logits0, hidden0, cos, sin, layer_w, pred_w, extras,
                 pltpu.VMEM((BP, DT), jnp.bfloat16),       # x residual
                 pltpu.VMEM((BP, VP), jnp.float32),        # logits carry
                 pltpu.VMEM((BP, DT), jnp.float32),        # hidden carry
-                pltpu.VMEM((3, B, HKVT, KV_CHUNK, DHT), jnp.bfloat16),
-                pltpu.VMEM((3, B, HKVT, KV_CHUNK, DHT), jnp.bfloat16),
+                (pltpu.VMEM((kv_slots, HKVT, B * ck, DHT), jnp.bfloat16)
+                 if batched
+                 else pltpu.VMEM((kv_slots, B, HKVT, ck, DHT),
+                                 jnp.bfloat16)),
+                (pltpu.VMEM((kv_slots, HKVT, B * ck, DHT), jnp.bfloat16)
+                 if batched
+                 else pltpu.VMEM((kv_slots, B, HKVT, ck, DHT),
+                                 jnp.bfloat16)),
                 pltpu.VMEM((HKVT, rep * BP, DHT), jnp.bfloat16),   # q3
                 pltpu.VMEM((HKVT, BP, DHT), jnp.bfloat16),         # k new
                 pltpu.VMEM((HKVT, BP, DHT), jnp.bfloat16),         # v new
@@ -735,7 +815,7 @@ def _call(logits0, hidden0, cos, sin, layer_w, pred_w, extras,
                 pltpu.VMEM((N_TOKENS, 8, DT),
                            extras["ctab_fb"].dtype),      # feedback windows
                 pltpu.SMEM((PB, N_TOKENS), jnp.int32),    # frame codes
-                pltpu.SemaphoreType.DMA((3, B, 2)),       # talker KV
+                pltpu.SemaphoreType.DMA((kv_slots, B, 2)),  # talker KV
                 pltpu.SemaphoreType.DMA((4,)),            # talker weights
                 pltpu.SemaphoreType.DMA((2,)),            # pred head slots
                 pltpu.SemaphoreType.DMA((PB,)),           # pred tables
@@ -1034,10 +1114,15 @@ def chunk_mode() -> bool:
 
 
 def supported(tcfg, pcfg, batch: int, n_frames: int) -> bool:
+    """batch 1 runs the per-lane-unrolled flash loop; 8/16 run the batched
+    fused-column loop (2 KV slots + per-batch chunk size hold the whole
+    program ~86-92 MB against the 120 MB VMEM budget; 32 lanes would need
+    ~117 MB + Mosaic scale blocks and is gated off — serving at b=32 rides
+    the per-step talker megakernel instead)."""
     from . import talker_step as _ts
     from . import predictor_frame as _pf
     g2 = 2 * INT4_GROUP
-    return (batch == 1
+    return ((batch == 1 or batch in (8, 16))
             and 1 <= n_frames <= 8
             and _ts.supported(tcfg, batch, "w4a8")
             and _pf.supported(pcfg, batch)

@@ -519,7 +519,7 @@ class Generator:
         # resident w4a8 form + the static extras (codec head slice, proj,
         # tables, rope rows).  Packed once here; gen_frames routes through
         # kernels/chunk_step when the pack is present and the per-call
-        # gates (batch 1, uniform cursor, 1..8 frames) hold.
+        # gates (batch 1/8/16, uniform cursor, 1..8 frames) hold.
         from ..kernels import chunk_step as _cs
         if (_mode == "w4a8" and _cs.chunk_mode()
                 and _cs.supported(cfg.talker, cfg.predictor, 1,

@@ -256,6 +256,79 @@ def test_chunk_matches_framewise_resync(setup):
         atol=0.05, rtol=0.05)
 
 
+def test_chunk_batched_lane_isolation(setup):
+    """Batched fused-column mode (B=8): lanes 0-3 duplicate lanes 4-7, so
+    every output of lane i must EXACTLY equal lane i+4 (same path, same
+    rounding) — the fused-column masking must keep lanes fully isolated.
+    Frame-0 code_0 is the argmax of the input logits per lane (exact)."""
+    tcfg, pcfg, tp, tparams, pparams, pred_w, extras, key = setup
+    B, F = 8, 2
+    c4 = _cache_with_history(tcfg, 4, 100, key)
+    tile = lambda a: jnp.concatenate([a, a], axis=1)     # [L, 4,...] -> 8
+    k8, v8 = tile(c4.k), tile(c4.v)
+    lengths8 = jnp.concatenate([c4.lengths, c4.lengths])
+    lg4 = jax.random.normal(jax.random.fold_in(key, 12),
+                            (4, tcfg.n_codec_logits), jnp.float32)
+    hd4 = jax.random.normal(jax.random.fold_in(key, 13),
+                            (4, tcfg.d_model), jnp.float32) * 0.3
+    lg8 = jnp.concatenate([lg4, lg4])
+    hd8 = jnp.concatenate([hd4, hd4])
+
+    codes, lg_out, hd_out, k_out, v_out = _run_kernel(
+        setup, lg8, hd8, k8, v8, lengths8, START, F)
+    cn = np.asarray(codes)
+    for i in range(4):
+        np.testing.assert_array_equal(cn[i], cn[i + 4])
+        np.testing.assert_array_equal(np.asarray(lg_out)[i],
+                                      np.asarray(lg_out)[i + 4])
+        np.testing.assert_array_equal(np.asarray(k_out[:, i]),
+                                      np.asarray(k_out[:, i + 4]))
+    c0 = np.asarray(jnp.argmax(lg8, axis=-1))
+    np.testing.assert_array_equal(cn[:, 0, 0], c0)
+    # untouched cache slots preserved bit-for-bit; appended slots written
+    np.testing.assert_array_equal(
+        np.asarray(k_out[:, :, :, :START], np.float32),
+        np.asarray(k8[:, :, :, :START], np.float32))
+    assert np.abs(np.asarray(k_out[:, :, :, START:START + F],
+                             np.float32)).sum() > 0
+
+
+def test_chunk_batched_matches_single(setup):
+    """B=8 identical lanes vs the B=1 kernel, ONE frame: the batched flash
+    loop dots bf16 q/k (the unrolled loop dots f32), so the post-talker
+    logits/hidden agree within the fusion band.  F is pinned to 1 — any
+    longer and a near-tie argmax flip in the next frame's 16 codes swaps
+    the feedback embedding entirely (different token, legitimately
+    different outputs; the lane-isolation test above covers multi-frame
+    behavior exactly because both sides share one precision path)."""
+    tcfg, pcfg, tp, tparams, pparams, pred_w, extras, key = setup
+    F = 1
+    c1 = _cache_with_history(tcfg, 1, 100, key)
+    lg1 = jax.random.normal(jax.random.fold_in(key, 22),
+                            (1, tcfg.n_codec_logits), jnp.float32)
+    hd1 = jax.random.normal(jax.random.fold_in(key, 23),
+                            (1, tcfg.d_model), jnp.float32) * 0.3
+    bc = lambda a: jnp.broadcast_to(a, (a.shape[0], 8) + a.shape[2:])
+    k8 = jnp.asarray(bc(c1.k))
+    v8 = jnp.asarray(bc(c1.v))
+    lg8 = jnp.broadcast_to(lg1, (8,) + lg1.shape[1:])
+    hd8 = jnp.broadcast_to(hd1, (8,) + hd1.shape[1:])
+    lengths8 = jnp.full((8,), 100, jnp.int32)
+
+    c_1, lgo_1, hdo_1, _, _ = _run_kernel(
+        setup, lg1, hd1, c1.k, c1.v, c1.lengths, START, F)
+    c_8, lgo_8, hdo_8, _, _ = _run_kernel(
+        setup, lg8, hd8, k8, v8, lengths8, START, F)
+    # frame 0: the whole expand phase is talker-attention-free -> exact
+    np.testing.assert_array_equal(np.asarray(c_8)[0, 0],
+                                  np.asarray(c_1)[0, 0])
+    np.testing.assert_allclose(np.asarray(lgo_8)[0, :cs.V_CODEC],
+                               np.asarray(lgo_1)[0, :cs.V_CODEC],
+                               atol=LOGIT_TOL, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(hdo_8)[0], np.asarray(hdo_1)[0],
+                               atol=0.25, rtol=0.05)
+
+
 def test_chunk_kernel_sampled_support(setup):
     """temp > 0: frame-0 code_0 must come from the top-k/top-p support set
     of the input logits for any u."""
