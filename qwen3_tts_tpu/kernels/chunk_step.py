@@ -229,12 +229,11 @@ def _kernel(lengths_ref, start_ref,
                     for dma in kv_dma_at(0 if batched else 2, 0, b, 0):
                         dma.start()
 
-            if not batched:
-                @pl.when(n_chunks > 1)
-                def _():
-                    for b in range(B):
-                        for dma in kv_dma_at(1, 1, b, 0):
-                            dma.start()
+            @pl.when(n_chunks > 1)
+            def _():
+                for b in range(B):
+                    for dma in kv_dma_at(1, 1, b, 0):
+                        dma.start()
 
         # ---- sample code_0 (uniform u drawn outside; see module doc)
         lg = logits_sc[...]
@@ -504,7 +503,11 @@ def _kernel(lengths_ref, start_ref,
                     slot = jax.lax.rem(ci, 2)
                     nslot = jax.lax.rem(ci + 1, 2)
 
-                    @pl.when(ci + 1 < n_chunks)
+                    # chunks 0 AND 1 are cross-layer-prefetched (the 2B
+                    # per-chunk DMA issues are the dominant per-layer
+                    # fixed cost at batch — issue them a whole layer
+                    # early); the intra-layer pipeline starts at chunk 2
+                    @pl.when(jnp.logical_and(ci + 1 < n_chunks, ci >= 1))
                     def _():
                         for b in range(B):
                             for dma in kv_dma_at(nslot, ci + 1, b, l):
@@ -595,12 +598,11 @@ def _kernel(lengths_ref, start_ref,
                     for dma in kv_dma_at(0 if batched else 2, 0, b, nl):
                         dma.start()
 
-            if not batched:
-                @pl.when(jnp.logical_and(nxt_exists, n_chunks > 1))
-                def _():
-                    for b in range(B):
-                        for dma in kv_dma_at(1, 1, b, nl):
-                            dma.start()
+            @pl.when(jnp.logical_and(nxt_exists, n_chunks > 1))
+            def _():
+                for b in range(B):
+                    for dma in kv_dma_at(1, 1, b, nl):
+                        dma.start()
 
             # chunk-local columns: frames 0..f of THIS chunk (frame f's own
             # token was written above — always self-visible; earlier frames
@@ -697,7 +699,11 @@ def _call(logits0, hidden0, cos, sin, layer_w, pred_w, extras,
 
     # Batched mode (B > 4): fused-column KV scratch (2 slots), one masked
     # dot per chunk; ck shrinks with B to hold the VMEM budget
-    # (talker_step.py batched schedule).
+    # (talker_step.py batched schedule).  The chunk program carries more
+    # VMEM residents than the lone talker kernel (predictor stack, chunk-
+    # local KV, Mosaic's double-buffered scale blocks — measured b=8 OOM
+    # at 120.7 MB with ck=256/lps=7), so batched mode uses the smaller
+    # 1024//B chunk and the caller clamps lps (gen_chunk_fused).
     batched = B > 4
     ck = max(128, 2048 // B) if batched else KV_CHUNK
     kv_slots = 2 if batched else 3
@@ -832,7 +838,7 @@ def _call(logits0, hidden0, cos, sin, layer_w, pred_w, extras,
             jax.ShapeDtypeStruct((N_TOKENS, PB, DP), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024),
+            vmem_limit_bytes=(126 if batched else 120) * 1024 * 1024),
         interpret=interpret,
     )(lengths.astype(jnp.int32), jnp.reshape(start, (1,)).astype(jnp.int32),
       sampler_vec, u,
@@ -1158,6 +1164,11 @@ def gen_chunk_fused(tcfg, pcfg, talker_params, pred_w, extras,
         lps = layers_per_step(tcfg.n_layers)
     elif tcfg.n_layers % lps != 0:
         lps = 1
+    if B > 4 and lps > 4:
+        # batched mode: Mosaic double-buffers (lps, ...) scale blocks per
+        # grid step (~2 x 11 MB at lps=7) — clamp to the largest divisor
+        # <= 4 to keep the whole program under the VMEM limit
+        lps = next((v for v in (4, 3, 2) if tcfg.n_layers % v == 0), 1)
 
     # per-frame rope rows, tiled across packed q lanes (talker_step layout)
     p_f = (pos.astype(jnp.int32)[:, None]

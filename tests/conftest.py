@@ -38,9 +38,10 @@ import numpy as np
 import pytest
 
 # CPU-fast CI tier (`pytest -m quick`): the core-correctness subset a
-# reviewer can run in a couple of minutes on one core.  Everything else
-# (Pallas interpret-mode kernels, 8-virtual-device sharding, production-size
-# codec shapes, native build) stays in the full tier.
+# reviewer can run in <= 8 minutes on one core.  Everything else (Pallas
+# interpret-mode kernels, 8-virtual-device sharding, production-size codec
+# shapes, native build) stays in the full tier; individual compile-heavy
+# parity tests inside quick files carry @pytest.mark.slow to stay full-only.
 _QUICK_FILES = {
     "test_prompt.py", "test_runtime.py", "test_codec.py", "test_ops.py",
     "test_gguf.py", "test_prefix_cache.py", "test_engine_e2e.py",
@@ -49,12 +50,22 @@ _QUICK_FILES = {
     "test_models.py",
 }
 
+# Smallest reviewer tier (`pytest -m smoke`, <= 3 min on one core):
+# protocol goldens, on-device sampling ops, GGUF/io round-trips, the real
+# tokenizer path, and the tiny-engine end-to-end surface.
+_SMOKE_FILES = {
+    "test_prompt.py", "test_ops.py", "test_gguf.py", "test_io.py",
+    "test_tokenizer_real.py", "test_engine_e2e.py",
+}
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
         if (item.fspath.basename in _QUICK_FILES
                 and item.get_closest_marker("slow") is None):
             item.add_marker(pytest.mark.quick)
+            if item.fspath.basename in _SMOKE_FILES:
+                item.add_marker(pytest.mark.smoke)
 
 
 @pytest.fixture(scope="session")

@@ -39,6 +39,7 @@ def _sampler():
                              top_k=jnp.int32(40), top_p=jnp.float32(0.9))
 
 
+@pytest.mark.slow        # compile-heavy: full tier only (quick <= 8 min)
 def test_bulk_matches_host_loop(setup):
     """codes/valid/wav from the one-dispatch program == the host chunk loop
     (same chunk size, same PRNG threading)."""
@@ -192,6 +193,7 @@ def test_bulk_per_lane_budgets(setup):
     assert np.asarray(state.done).all()
 
 
+@pytest.mark.slow        # compile-heavy: full tier only (quick <= 8 min)
 def test_wave_bulk_matches_chunked_loop(tiny_engine, monkeypatch):
     """BatchSynthesizer through the bulk program == the chunked wave loop,
     including per-request max_frames budgets and eos flags."""

@@ -49,6 +49,7 @@ def test_decoder_streaming_equals_full(decoder):
     np.testing.assert_allclose(streamed, full, atol=1e-5)
 
 
+@pytest.mark.slow        # compile-heavy: full tier only (quick <= 8 min)
 def test_decoder_streaming_exceeding_window(decoder):
     """Streaming past the attention window stays consistent chunk-to-chunk:
     two different chunkings agree."""
@@ -220,6 +221,7 @@ def test_overlap_op_semantics_and_streaming():
                                    np.asarray(full), atol=5e-6, rtol=5e-5)
 
 
+@pytest.mark.slow        # compile-heavy: full tier only (quick <= 8 min)
 def test_overlap_streaming_equals_full(overlap_decoder):
     """m == 2 through the WHOLE decoder: chunked == full to float noise.
     The overlap-add itself is bit-exact (test above); end-to-end the
@@ -244,6 +246,7 @@ def test_overlap_streaming_equals_full(overlap_decoder):
         np.testing.assert_allclose(streamed, full, atol=5e-6)
 
 
+@pytest.mark.slow        # compile-heavy: full tier only (quick <= 8 min)
 def test_overlap_mult4_streaming_close(overlap_decoder):
     """m == 4 (kernel spans 4 input frames): chunked == full to float
     reassociation tolerance, including 1-frame chunks (contributions span

@@ -107,6 +107,7 @@ def test_engine_uses_onnx_decoder(onnx_engine):
     assert "codec_decoder" not in eng.dev_mode_components
 
 
+@pytest.mark.slow        # compile-heavy: full tier only (quick <= 8 min)
 def test_engine_decode_codes_matches_reference_impl(onnx_engine):
     codes = _codes(5, seed=7)
     audio = onnx_engine.decode_codes(codes)

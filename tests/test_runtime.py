@@ -55,6 +55,7 @@ def test_eos_invalidates_frames(setup, monkeypatch):
     assert (np.asarray(codes)[1, :, 0] == 7).all()
 
 
+@pytest.mark.slow        # compile-heavy: full tier only (quick <= 8 min)
 def test_eos_mid_generation(setup, monkeypatch):
     cfg, tp, pp, pack = setup
     # EOS exactly when the stream position passes a threshold: use a counter
