@@ -76,6 +76,27 @@ def resolve_base(repo_id: str = DEFAULT_REPO) -> str:
     return f"{base}/{repo_id}/resolve/main"
 
 
+def probe_manifest(quant: str = "none", repo_id: str = DEFAULT_REPO,
+                   timeout: float = 3.0) -> Optional[dict]:
+    """HEAD-probe every manifest file on the hub without downloading.
+
+    Returns None when no hub is reachable (air-gapped box), otherwise
+    ``{"base": <url>, "published": [rel...], "absent": [rel...]}``.
+    Used by the verify runbook's hub-probe drill so "the files appeared
+    on HF" is noticed the day it happens (the reference's manifest lives
+    at download.rs:55-101; this framework's real-checkpoint drills are
+    blocked on those files, VERDICT r4 #5)."""
+    if not (_probe(HF_BASE, timeout) or _probe(HF_MIRROR, timeout)
+            or os.environ.get("QTTS_HF_BASE")):
+        return None
+    base = resolve_base(repo_id)
+    published: List[str] = []
+    absent: List[str] = []
+    for rel in manifest(quant) + OPTIONAL_FILES:
+        (published if _probe(f"{base}/{rel}", timeout) else absent).append(rel)
+    return {"base": base, "published": published, "absent": absent}
+
+
 def _download_file(url: str, target: Path,
                    progress: Optional[Callable[[str, int, int], None]] = None,
                    chunk: int = 1 << 20) -> None:

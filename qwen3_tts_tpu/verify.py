@@ -94,6 +94,30 @@ def run_drills(model_dir, quant: str = "none", download: bool = False,
     _run_drill("files", files, drills)
     sub = dl.QUANT_SUBDIR.get(quant, "gguf")
 
+    # ---- 1b. hub probe ----------------------------------------------------
+    def hub_probe():
+        """Notice the day the checkpoint files appear on the hub.  Every
+        real-checkpoint drill below is blocked on files, not code — this
+        drill HEAD-probes the manifest so a CI run flips from SKIP to a
+        loud 'files are published, run --download' the moment they exist
+        (reference manifest: download.rs:55-101)."""
+        res = dl.probe_manifest(quant)
+        if res is None:
+            raise _Skip("no hub reachable (air-gapped; set QTTS_HF_BASE "
+                        "for a local mirror)")
+        n_req = len(dl.manifest(quant))
+        if not res["published"]:
+            return (f"hub reachable at {res['base']}; 0/{n_req} manifest "
+                    "files published yet")
+        if res["absent"]:
+            return (f"hub reachable; PUBLISHED: {res['published']} — "
+                    f"still absent: {res['absent']}")
+        return (f"ALL {n_req} required files (+optional) published at "
+                f"{res['base']} — run `python -m qwen3_tts_tpu.verify "
+                "--download` to execute the full fidelity suite")
+
+    _run_drill("hub-probe", hub_probe, drills)
+
     # ---- 2. tokenizer -----------------------------------------------------
     def tokenizer():
         from .utils.tokenizer import Tokenizer

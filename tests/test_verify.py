@@ -27,11 +27,38 @@ def test_empty_dir_all_skip(tmp_path, capsys):
     assert summary["skip"] == len(summary["drills"])
     assert summary["ready"] is False
     # every drill ran and reported
-    for name in ("files", "tokenizer", "assets-gguf", "talker-gguf",
-                 "predictor-gguf", "llama-parity", "onnx-decoder-import",
-                 "native-decoder-validate", "encoder-import",
-                 "speaker-import", "golden-wav"):
+    for name in ("files", "hub-probe", "tokenizer", "assets-gguf",
+                 "talker-gguf", "predictor-gguf", "llama-parity",
+                 "onnx-decoder-import", "native-decoder-validate",
+                 "encoder-import", "speaker-import", "golden-wav"):
         assert summary["drills"][name] == "SKIP"
+
+
+def test_hub_probe_notices_published_files(tmp_path, capsys, monkeypatch):
+    """The day the checkpoints appear on HF, the hub-probe drill must PASS
+    with a loud 'published' message instead of skipping (VERDICT r4 #5)."""
+    from qwen3_tts_tpu.io import download as dl
+
+    monkeypatch.setattr(dl, "_probe", lambda url, timeout=3.0: True)
+    rc = v.main(["--model-dir", str(tmp_path / "nothing")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    summary = json.loads(out.strip().splitlines()[-1])
+    assert summary["drills"]["hub-probe"] == "PASS"
+    assert "published" in out
+
+
+def test_hub_probe_partial_publication(tmp_path, capsys, monkeypatch):
+    # only the tokenizer is up: the drill reports the split, still PASSes
+    from qwen3_tts_tpu.io import download as dl
+
+    def probe(url, timeout=3.0):
+        return url.endswith("tokenizer.json") or "/resolve/" not in url
+
+    monkeypatch.setattr(dl, "_probe", probe)
+    res = dl.probe_manifest()
+    assert res["published"] == ["tokenizer/tokenizer.json"]
+    assert len(res["absent"]) == len(dl.manifest()) + len(dl.OPTIONAL_FILES) - 1
 
 
 def test_broken_file_fails(tmp_path, capsys):
