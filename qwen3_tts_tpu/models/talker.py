@@ -91,6 +91,37 @@ def talker_decode_step(cfg: TalkerConfig, params, embed: jnp.ndarray,
     return _codec_logits(params, hidden), hidden, cache
 
 
+def talker_verify_frames(cfg: TalkerConfig, params, embeds: jnp.ndarray,
+                         pos: jnp.ndarray, cache: KVCache, prompt_cap: int,
+                         uniform_cursor: bool = True,
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, KVCache]:
+    """Mid-decode multi-token forward: the speculative-decoding VERIFY step
+    (DESIGN §12 prerequisite (a)).
+
+    Consumes K drafted feedback embeddings in ONE forward — the 28-layer
+    weight stream (the decode bottleneck, DESIGN §10) amortizes K-fold —
+    and returns logits/hidden at EVERY drafted position.  Unlike prefill,
+    the rows attend the full live prefix (prompt + generated history), so
+    position j sees [0, cursor + j] exactly as j sequential decode steps
+    would (full_prefix=True in transformer.decoder_forward).
+
+    embeds: [B, K, 2048] drafted feedback embeds; pos: [B] logical position
+    of the first draft.  Returns (codec_logits [B, K, Vc], hidden [B, K, D],
+    cache with the K rows appended — the CALLER owns cursor rollback for
+    rejected drafts, see runtime/spec.py).
+    """
+    b, k, _ = embeds.shape
+    p = (pos.astype(jnp.int32)[:, None]
+         + jnp.arange(k, dtype=jnp.int32)[None, :])          # [B, K]
+    pos4 = jnp.stack([p, p, p, jnp.zeros_like(p)], axis=-1)
+    cos, sin = _rope_tables(cfg, pos4)
+    hidden_all, cache = transformer.decoder_forward(
+        cfg, params, embeds.astype(jnp.dtype(cfg.dtype)), cos, sin, cache,
+        prompt_cap=prompt_cap, uniform_cursor=uniform_cursor,
+        full_prefix=True)
+    return _codec_logits(params, hidden_all), hidden_all, cache
+
+
 def _codec_logits(params, hidden: jnp.ndarray) -> jnp.ndarray:
     from ..ops.quant import head_matmul
     return head_matmul(hidden, params["codec_head"])

@@ -90,7 +90,8 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
                     cos: jnp.ndarray, sin: jnp.ndarray, cache: KVCache,
                     prompt_cap: int,
                     uniform_cursor: bool = True,
-                    a8: bool = False) -> Tuple[jnp.ndarray, KVCache]:
+                    a8: bool = False,
+                    full_prefix: bool = False) -> Tuple[jnp.ndarray, KVCache]:
     """Run the decoder over S new tokens.
 
     x: [B, S, D] input embeddings; cos/sin: [B, S, Dh] rotary tables for the
@@ -98,6 +99,12 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     uniform_cursor (static): all lanes share one cursor value — the common
     case (single stream / wave batching); enables a cheap slice update
     instead of a per-lane scatter.  Continuous batching passes False.
+    full_prefix (static): multi-token calls normally window attention to
+    [0, max(prompt_cap, s)) because prefill has no decode history; a
+    MID-DECODE multi-token forward (speculative-decoding verify step,
+    runtime/spec.py — DESIGN §12 prerequisite (a)) passes True so the new
+    rows attend the whole live prefix (prompt + generated slots), gated by
+    the same per-lane length/cursor/causal predicates as decode steps.
     Returns (hidden [B, S, D] after final norm, updated cache).
     """
     b, s, d = x.shape
@@ -162,8 +169,8 @@ def decoder_forward(cfg, params: Dict[str, Any], x: jnp.ndarray,
     # alone would zero its attention.  max(prompt_cap, s) covers both
     # layouts — fresh prefill writes [0, s) and suffix prefill ends at or
     # below prompt_cap by construction.
-    attn_win = min(max(prompt_cap, s), cache.capacity) if s > 1 \
-        else cache.capacity
+    attn_win = cache.capacity if (s == 1 or full_prefix) \
+        else min(max(prompt_cap, s), cache.capacity)
     mask = (None if use_flash else
             history_mask(cache.lengths, prompt_cap, start, s, attn_win))
 
