@@ -172,6 +172,12 @@ class CodecEncoderConfig:
     downsample_factors: Tuple[int, ...] = (5, 4, 4, 5, 5)  # prod = 2000
     channels: Tuple[int, ...] = (64, 128, 256, 512, 1024)
     conv_kernel: int = 7
+    # Per-stage strided-conv kernel = stage_kernel_mult * stride.  Config,
+    # not hardcode, so a real checkpoint with a different receptive field
+    # imports into the fast native path instead of forcing a permanent
+    # onnx_exec fallback (the decoder's upsample_kernel_mult analogue —
+    # io.codec_import.infer_encoder_geometry detects it from the export).
+    stage_kernel_mult: int = 2
     n_codebooks: int = P.NUM_CODEBOOKS
     codebook_size: int = P.CODEBOOK_SIZE
     dtype: str = "float32"
@@ -202,6 +208,11 @@ class SpeakerEncoderConfig:
     d_model: int = 256
     n_layers: int = 4
     emb_dim: int = P.SPEAKER_EMB_DIM
+    # "attentive" (ECAPA-style attentive statistics) or "xvector" (plain
+    # mean/std statistics pooling).  Selectable so a real checkpoint of
+    # either family imports into the native fast path
+    # (io.codec_import.infer_speaker_pooling detects which from the export).
+    pooling: str = "attentive"
     dtype: str = "float32"
 
     @staticmethod

@@ -156,10 +156,11 @@ def speaker_name_map(cfg) -> Dict[str, Entry]:
     attention value vector is torch Linear(d, 1).weight [1, d] -> ravel."""
     m: Dict[str, Entry] = {
         "in_proj": ("in_proj.weight", "T"),
-        "attn_w": ("attention.w.weight", "T"),
-        "attn_v": ("attention.v.weight", np.ravel),
         "head": ("head.weight", "T"),
     }
+    if cfg.pooling == "attentive":
+        m["attn_w"] = ("attention.w.weight", "T")
+        m["attn_v"] = ("attention.v.weight", np.ravel)
     for i in range(cfg.n_layers):
         m[f"convs/{i}/w"] = (f"convs.{i}.weight", None)
         m[f"convs/{i}/b"] = (f"convs.{i}.bias", None)
@@ -274,6 +275,73 @@ def infer_upsample_mult(initializers: Dict[str, np.ndarray], cfg) -> int:
             f"non-uniform transpose kernel/stride ratios {mults}; set "
             f"per-stage geometry manually or use io.onnx_exec")
     return mults[0]
+
+
+def infer_encoder_geometry(initializers: Dict[str, np.ndarray], cfg):
+    """Detect a real audio-encoder export's strided-conv geometry and
+    return a config the native fast path can import it under — the
+    encoder-side analogue of infer_upsample_mult (VERDICT r4 #6, mirrors
+    the decoder's r4 treatment so a kernel/stride mismatch can never force
+    a permanent onnx_exec fallback for /root/reference/src/models/onnx.rs:82-122).
+
+    Looks up `down_stages.{i}.weight` (torch Conv1d [out, in, K]); falls
+    back to shape-scanning for [c_out, c_in, K] with K a multiple of that
+    stage's stride.  Returns cfg with stage_kernel_mult replaced (uniform
+    m, kernel == m*stride); raises CodecImportError for non-multiple or
+    non-uniform geometry the causal framing cannot carry."""
+    import dataclasses
+    chans = list(cfg.channels)
+    mults = []
+    for i, r in enumerate(cfg.downsample_factors):
+        c_in = chans[i]
+        c_out = chans[min(i + 1, len(chans) - 1)]
+        name = f"down_stages.{i}.weight"
+        t = initializers.get(name)
+        if t is None:
+            cands = [np.asarray(v) for v in initializers.values()
+                     if np.asarray(v).ndim == 3
+                     and np.asarray(v).shape[:2] == (c_out, c_in)]
+            if len(cands) != 1:
+                raise CodecImportError(
+                    f"encoder stage {i}: cannot locate strided-conv weight "
+                    f"('{name}' absent, {len(cands)} shape candidates "
+                    f"[{c_out}, {c_in}, *])")
+            t = cands[0]
+        k = int(np.asarray(t).shape[-1])
+        if k % r != 0:
+            raise CodecImportError(
+                f"encoder stage {i}: kernel {k} is not a multiple of "
+                f"stride {r} — causal framing cannot carry it; route this "
+                f"checkpoint through io.onnx_exec")
+        mults.append(k // r)
+    if len(set(mults)) != 1:
+        raise CodecImportError(
+            f"non-uniform encoder kernel/stride ratios {mults}; set "
+            f"per-stage geometry manually or use io.onnx_exec")
+    if mults[0] != cfg.stage_kernel_mult:
+        cfg = dataclasses.replace(cfg, stage_kernel_mult=mults[0])
+    return cfg
+
+
+def infer_speaker_pooling(initializers: Dict[str, np.ndarray], cfg):
+    """Detect whether a real speaker-encoder export pools attentively or
+    with plain statistics (x-vector), and return a config selecting that
+    variant (/root/reference/src/models/onnx.rs:125-163; VERDICT r4 #6).
+
+    An attentive export carries the score head's [d, d] matrix — the only
+    square-d tensor in either variant (convs are 3-D, in_proj is
+    [d, n_mels], head is [emb, 2d]).  Looks for `attention.*` names first,
+    then shape-scans; absence of both -> the x-vector variant (pure
+    mean/std needs no extra weights)."""
+    import dataclasses
+    d = cfg.d_model
+    named = any(nm.startswith("attention.") for nm in initializers)
+    mat = any(tuple(np.asarray(t).shape) == (d, d)
+              for t in initializers.values())
+    pooling = "attentive" if (named or mat) else "xvector"
+    if pooling != cfg.pooling:
+        cfg = dataclasses.replace(cfg, pooling=pooling)
+    return cfg
 
 
 def convert_codec(initializers: Dict[str, np.ndarray], cfg,

@@ -32,8 +32,9 @@ def init_encoder_params(cfg: CodecEncoderConfig, key: jax.Array) -> Dict[str, An
                              cfg.conv_kernel ** -0.5),
                     "b": jnp.zeros((chans[0],), dtype)},
         "stages": tuple(
-            {"w": rnd((chans[min(i + 1, len(chans) - 1)], chans[i], 2 * r),
-                      (chans[i] * 2 * r) ** -0.5),
+            {"w": rnd((chans[min(i + 1, len(chans) - 1)], chans[i],
+                       cfg.stage_kernel_mult * r),
+                      (chans[i] * cfg.stage_kernel_mult * r) ** -0.5),
              "b": jnp.zeros((chans[min(i + 1, len(chans) - 1)],), dtype)}
             for i, r in enumerate(cfg.downsample_factors)),
         "out_proj": rnd((chans[-1], cfg.d_model), chans[-1] ** -0.5),

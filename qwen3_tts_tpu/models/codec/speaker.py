@@ -27,15 +27,20 @@ def init_speaker_params(cfg: SpeakerEncoderConfig, key: jax.Array) -> Dict[str, 
                 ).astype(dtype)
 
     d = cfg.d_model
-    return {
+    params = {
         "in_proj": rnd((cfg.n_mels, d), cfg.n_mels ** -0.5),
         "convs": tuple(
             {"w": rnd((d, d, 3), (3 * d) ** -0.5), "b": jnp.zeros((d,), dtype)}
             for _ in range(cfg.n_layers)),
-        "attn_w": rnd((d, d), d ** -0.5),
-        "attn_v": rnd((d,), d ** -0.5),
         "head": rnd((2 * d, cfg.emb_dim), (2 * d) ** -0.5),
     }
+    if cfg.pooling == "attentive":
+        params["attn_w"] = rnd((d, d), d ** -0.5)
+        params["attn_v"] = rnd((d,), d ** -0.5)
+    elif cfg.pooling != "xvector":
+        raise ValueError(f"unknown speaker pooling {cfg.pooling!r} "
+                         "(expected 'attentive' or 'xvector')")
+    return params
 
 
 def speaker_embed_from_mel(cfg: SpeakerEncoderConfig, params,
@@ -54,10 +59,16 @@ def speaker_embed_from_mel(cfg: SpeakerEncoderConfig, params,
         x = x + jax.nn.gelu(y + conv["b"][None, :, None].astype(jnp.float32))
     x = jnp.swapaxes(x, 1, 2)                              # [B, F, D]
 
-    # Attentive statistics pooling.
-    scores = jnp.einsum("bfd,d->bf", jnp.tanh(x @ params["attn_w"].astype(jnp.float32)),
-                        params["attn_v"].astype(jnp.float32))
-    w = jax.nn.softmax(scores, axis=-1)[..., None]         # [B, F, 1]
+    # Statistics pooling: attentive (ECAPA-style, learned frame weights) or
+    # x-vector (uniform weights) — both reduce to weighted mean/std over
+    # frames, so the selectable variant is just the weight source.
+    if cfg.pooling == "attentive":
+        scores = jnp.einsum(
+            "bfd,d->bf", jnp.tanh(x @ params["attn_w"].astype(jnp.float32)),
+            params["attn_v"].astype(jnp.float32))
+        w = jax.nn.softmax(scores, axis=-1)[..., None]     # [B, F, 1]
+    else:                                                  # "xvector"
+        w = jnp.full(x.shape[:2] + (1,), 1.0 / x.shape[1], jnp.float32)
     mean = jnp.sum(w * x, axis=1)
     var = jnp.sum(w * (x - mean[:, None]) ** 2, axis=1)
     stats = jnp.concatenate([mean, jnp.sqrt(var + 1e-6)], axis=-1)

@@ -273,7 +273,7 @@ def run_drills(model_dir, quant: str = "none", download: bool = False,
     _run_drill("native-decoder-validate", decoder_validate, drills)
 
     # ---- 9. encoder / speaker import (optional files) ----------------------
-    def _import_optional(fname, cfg, name_map, init_fn):
+    def _import_optional(fname, cfg, name_map_fn, init_fn, infer_cfg=None):
         path = model_dir / "onnx" / fname
         if not path.exists():
             raise _Skip(f"onnx/{fname} not present (voice cloning only)")
@@ -282,8 +282,14 @@ def run_drills(model_dir, quant: str = "none", download: bool = False,
         from .io.onnx_lite import read_onnx_initializers
         inits = {k: np.asarray(v)
                  for k, v in read_onnx_initializers(path).items()}
+        if infer_cfg is not None:
+            # adopt the export's geometry/variant before mapping names, so
+            # a non-default checkpoint lands on the native fast path
+            # (decoder_import's infer_upsample_mult treatment, r4 advisor)
+            cfg = infer_cfg(inits, cfg)
         try:
-            ci.convert_codec(inits, cfg, name_map=name_map, init_fn=init_fn)
+            ci.convert_codec(inits, cfg, name_map=name_map_fn(cfg),
+                             init_fn=init_fn)
         except ci.CodecImportError:
             spec = ci.param_spec(init_fn, cfg)
             rep = ci.infer_name_map(inits, spec)
@@ -303,8 +309,9 @@ def run_drills(model_dir, quant: str = "none", download: bool = False,
         from .models.codec.encoder import init_encoder_params
         cfg = CodecEncoderConfig()
         return _import_optional("qwen3_tts_codec_encoder.onnx", cfg,
-                                ci.encoder_name_map(cfg),
-                                init_encoder_params)
+                                ci.encoder_name_map,
+                                init_encoder_params,
+                                infer_cfg=ci.infer_encoder_geometry)
 
     def speaker_import():
         from .core.config import SpeakerEncoderConfig
@@ -312,8 +319,9 @@ def run_drills(model_dir, quant: str = "none", download: bool = False,
         from .models.codec.speaker import init_speaker_params
         cfg = SpeakerEncoderConfig()
         return _import_optional("qwen3_tts_speaker_encoder.onnx", cfg,
-                                ci.speaker_name_map(cfg),
-                                init_speaker_params)
+                                ci.speaker_name_map,
+                                init_speaker_params,
+                                infer_cfg=ci.infer_speaker_pooling)
 
     _run_drill("encoder-import", encoder_import, drills)
     _run_drill("speaker-import", speaker_import, drills)
