@@ -157,6 +157,7 @@ def main() -> None:
     # prefetch covers chunks 0 AND 1 of the next layer, so decode past
     # KV_CHUNK slots keeps the short-cursor rate (DESIGN §11).  Guarded.
     rtf_long = None
+    ms_frame_marginal = None
     try:
         def long_once(seed: int):
             t0 = time.perf_counter()
@@ -170,7 +171,17 @@ def main() -> None:
 
         long_once(0)
         long_audio_s = 512 * spf / P.SAMPLE_RATE
-        rtf_long = round(min(long_once(s) for s in (1, 2)) / long_audio_s, 4)
+        long_total = min(long_once(s) for s in (1, 2))
+        rtf_long = round(long_total / long_audio_s, 4)
+        # Marginal per-frame time: the slope between the 96- and 512-frame
+        # runs.  ms_per_frame divides by 96 and so charges the whole
+        # per-REQUEST fixed cost (prefill spill + 2 dispatch/sync round
+        # trips, ~30 ms on this tunnel) to 96 frames; the slope is the
+        # steady-state decode rate a long or saturated stream actually
+        # sustains (r5: 96f gives 2.59 ms "per frame" while the 96->384
+        # slope is 2.25 — the difference is entirely the fixed term).
+        ms_frame_marginal = round((long_total - total) / (512 - FRAMES)
+                                  * 1000, 2)
     except Exception as e:
         print(json.dumps({"metric": "rtf_long", "error": str(e)[:200]}),
               flush=True)
@@ -320,6 +331,7 @@ def main() -> None:
         "bw_roofline_frac": round(bw_roofline_frac, 3),
         "pred_weight_reads_per_frame": pred_reads,
         "ms_per_frame": round(frame_s * 1000, 2),
+        "ms_per_frame_marginal": ms_frame_marginal,
         "streams_at_rtf_lt_1_measured": streams_rt,
         "batch_rtf_per_stream": batch_rtf,
         "batch_ttft_ms": batch_ttft_ms,

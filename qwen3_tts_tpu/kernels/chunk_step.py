@@ -164,6 +164,13 @@ def _kernel(lengths_ref, start_ref,
     f = pl.program_id(0)
     p = pl.program_id(1)
     GT = LT // lps
+    # Feedback-gather pipelining (r5): with a per-(lane, code) window
+    # buffer, each code's 8-row feedback-table DMA issues the moment that
+    # code is decided (q=0 after sampling, q>=1 inside the predictor token
+    # loop), so the predictor's serial tail hides all B*16 gather
+    # latencies and the assembly tail is waits + sums only.  Gated to
+    # B <= 8: the [B, 16, 8, D] buffer costs B/2 MB of VMEM.
+    fb_inloop = B <= 8
 
     rep = HT // HKVT
     dq = HT * DHT
@@ -246,6 +253,12 @@ def _kernel(lengths_ref, start_ref,
         for b in range(B):
             codes_ref[b, f, 0] = c0[b, 0]
             pcodes_sc[b, 0] = c0[b, 0]
+        if fb_inloop:
+            for b in range(B):
+                ci0 = jnp.clip(pcodes_sc[b, 0], 0, R_FB - 1)
+                pltpu.make_async_copy(
+                    ctab_fb_hbm.at[0, pl.ds((ci0 // 8) * 8, 8), :],
+                    fbwin_sc.at[b, 0], fbsem.at[b, 0]).start()
 
         # ---- projection 2048 -> 1024 (f32 exact, matches gen_frames)
         h1024 = jax.lax.dot_general(
@@ -340,6 +353,12 @@ def _kernel(lengths_ref, start_ref,
                     codes_ref[b, f, t] = carg[b]
                 for b in range(PB):
                     pcodes_sc[b, t] = carg[b]
+                if fb_inloop:
+                    for b in range(B):
+                        ci = jnp.clip(pcodes_sc[b, t], 0, R_FB - 1)
+                        pltpu.make_async_copy(
+                            ctab_fb_hbm.at[t, pl.ds((ci // 8) * 8, 8), :],
+                            fbwin_sc.at[b, t], fbsem.at[b, t]).start()
                 plog_out[t] = logits                   # debug tap (tiny)
 
                 @pl.when(t < N_TOKENS - 1)
@@ -377,35 +396,66 @@ def _kernel(lengths_ref, start_ref,
         jax.lax.fori_loop(0, N_TOKENS, p_token, 0)
 
         # ---- feedback = sum_q ctab_fb[q][code_q] + tts_pad  (per lane)
-        for b in range(B):
-            for q in range(N_TOKENS):
-                ci = jnp.clip(pcodes_sc[b, q], 0, R_FB - 1)
-                aligned = (ci // 8) * 8
-                pltpu.make_async_copy(
-                    ctab_fb_hbm.at[q, pl.ds(aligned, 8), :],
-                    fbwin_sc.at[q], fbsem.at[q]).start()
-            for q in range(N_TOKENS):
-                pltpu.make_async_copy(
-                    ctab_fb_hbm.at[q, pl.ds(0, 8), :],
-                    fbwin_sc.at[q], fbsem.at[q]).wait()
-            row = jax.lax.broadcasted_iota(jnp.int32, (N_TOKENS, 8, DT), 1)
-            off = jnp.zeros((N_TOKENS, 1, 1), jnp.int32)
-            qi3 = jax.lax.broadcasted_iota(jnp.int32, (N_TOKENS, 1, 1), 0)
-            for q in range(N_TOKENS):
-                off = jnp.where(qi3 == q,
-                                jnp.clip(pcodes_sc[b, q], 0, R_FB - 1) % 8,
-                                off)
-            sel = jnp.where(row == off, fbwin_sc[...].astype(jnp.float32),
-                            0.0)
-            fb = jnp.sum(sel, axis=(0, 1)) + tts_pad_ref[0]   # [DT] f32
-            # static per-row store: a bf16 jnp.where with a broadcast i1
-            # mask hits an unimplemented Mosaic relayout on hardware
-            # ("replicated in destination but not in source", (8,128) i1
-            # -> (16,128)); interpret mode can't see it.  b is a Python
-            # int, so write the one row directly.
-            if b == 0:
-                x_sc[...] = jnp.zeros((BP, DT), jnp.bfloat16)
-            x_sc[b, :] = fb.astype(jnp.bfloat16)
+        if fb_inloop:
+            # windows were DMA'd as the codes were decided (above); only
+            # the waits and masked sums remain here
+            for b in range(B):
+                for q in range(N_TOKENS):
+                    pltpu.make_async_copy(
+                        ctab_fb_hbm.at[q, pl.ds(0, 8), :],
+                        fbwin_sc.at[b, q], fbsem.at[b, q]).wait()
+            for b in range(B):
+                row = jax.lax.broadcasted_iota(jnp.int32,
+                                               (N_TOKENS, 8, DT), 1)
+                off = jnp.zeros((N_TOKENS, 1, 1), jnp.int32)
+                qi3 = jax.lax.broadcasted_iota(jnp.int32,
+                                               (N_TOKENS, 1, 1), 0)
+                for q in range(N_TOKENS):
+                    off = jnp.where(qi3 == q,
+                                    jnp.clip(pcodes_sc[b, q], 0,
+                                             R_FB - 1) % 8,
+                                    off)
+                sel = jnp.where(row == off,
+                                fbwin_sc[b].astype(jnp.float32), 0.0)
+                fb = jnp.sum(sel, axis=(0, 1)) + tts_pad_ref[0]
+                # static per-row store (see the relayout note below)
+                if b == 0:
+                    x_sc[...] = jnp.zeros((BP, DT), jnp.bfloat16)
+                x_sc[b, :] = fb.astype(jnp.bfloat16)
+        else:
+            for b in range(B):
+                for q in range(N_TOKENS):
+                    ci = jnp.clip(pcodes_sc[b, q], 0, R_FB - 1)
+                    aligned = (ci // 8) * 8
+                    pltpu.make_async_copy(
+                        ctab_fb_hbm.at[q, pl.ds(aligned, 8), :],
+                        fbwin_sc.at[q], fbsem.at[q]).start()
+                for q in range(N_TOKENS):
+                    pltpu.make_async_copy(
+                        ctab_fb_hbm.at[q, pl.ds(0, 8), :],
+                        fbwin_sc.at[q], fbsem.at[q]).wait()
+                row = jax.lax.broadcasted_iota(jnp.int32,
+                                               (N_TOKENS, 8, DT), 1)
+                off = jnp.zeros((N_TOKENS, 1, 1), jnp.int32)
+                qi3 = jax.lax.broadcasted_iota(jnp.int32,
+                                               (N_TOKENS, 1, 1), 0)
+                for q in range(N_TOKENS):
+                    off = jnp.where(qi3 == q,
+                                    jnp.clip(pcodes_sc[b, q], 0,
+                                             R_FB - 1) % 8,
+                                    off)
+                sel = jnp.where(row == off,
+                                fbwin_sc[...].astype(jnp.float32), 0.0)
+                fb = jnp.sum(sel, axis=(0, 1)) + tts_pad_ref[0]   # [DT] f32
+                # static per-row store: a bf16 jnp.where with a broadcast
+                # i1 mask hits an unimplemented Mosaic relayout on
+                # hardware ("replicated in destination but not in
+                # source", (8,128) i1 -> (16,128)); interpret mode can't
+                # see it.  b is a Python int, so write the one row
+                # directly.
+                if b == 0:
+                    x_sc[...] = jnp.zeros((BP, DT), jnp.bfloat16)
+                x_sc[b, :] = fb.astype(jnp.bfloat16)
 
     # ======================================================================
     # phases 1..GT: talker layers (talker_step.py schedule + chunk-local KV)
@@ -606,30 +656,31 @@ def _kernel(lengths_ref, start_ref,
 
             # chunk-local columns: frames 0..f of THIS chunk (frame f's own
             # token was written above — always self-visible; earlier frames
-            # gated by ff <= f).  Processed frame-order after the prefix.
-            for ff in range(F):
-                kn3 = ck_sc[l, ff].astype(jnp.float32)       # [HKVT, BP, DHT]
-                vn3 = cv_sc[l, ff].astype(jnp.float32)
-                sc_all = jax.lax.dot_general(
-                    q3, kn3, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)      # [HKVT, rB, BP]
-                rowm = jax.lax.broadcasted_iota(jnp.int32, sc_all.shape,
-                                                1) % BP
-                colm = jax.lax.broadcasted_iota(jnp.int32, sc_all.shape, 2)
-                sel = (rowm == colm) & (ff <= f)
-                s_cur = jnp.sum(jnp.where(sel, sc_all, 0.0), axis=2,
-                                keepdims=True)
-                s_cur = jnp.where(ff <= f, s_cur, NEG_INF)
-                m_f = jnp.maximum(m, s_cur)
-                alpha = jnp.exp(m - m_f)
-                p_cur = jnp.exp(s_cur - m_f)
-                pv = jax.lax.dot_general(
-                    jnp.where(sel, p_cur, 0.0), vn3,
-                    (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)
-                acc = acc * alpha + pv
-                s_sum = s_sum * alpha + p_cur
-                m = m_f
+            # gated by ff <= f).  ONE masked dot over all F frames' tokens
+            # + ONE online-softmax merge (r5: the per-ff loop ran F separate
+            # dot/mask/exp/merge passes per layer — 28*(F-1) extra serial
+            # vector-op groups per frame; column c = ff*BP + lane).
+            kn_all = jnp.concatenate(
+                [ck_sc[l, ff] for ff in range(F)],
+                axis=1).astype(jnp.float32)              # [HKVT, F*BP, DHT]
+            vn_all = jnp.concatenate(
+                [cv_sc[l, ff] for ff in range(F)],
+                axis=1).astype(jnp.float32)
+            sc_all = jax.lax.dot_general(
+                q3, kn_all, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)      # [HKVT, rB, F*BP]
+            rowm = jax.lax.broadcasted_iota(jnp.int32, sc_all.shape, 1) % BP
+            colm = jax.lax.broadcasted_iota(jnp.int32, sc_all.shape, 2)
+            sel = (rowm == colm % BP) & ((colm // BP) <= f)
+            sc_all = jnp.where(sel, sc_all, NEG_INF)
+            m_f = jnp.maximum(m, jnp.max(sc_all, axis=2, keepdims=True))
+            p_cur = jnp.exp(sc_all - m_f)                # masked cols -> 0
+            alpha = jnp.exp(m - m_f)
+            pv = jax.lax.dot_general(
+                p_cur, vn_all, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            acc = acc * alpha + pv
+            s_sum = s_sum * alpha + jnp.sum(p_cur, axis=2, keepdims=True)
             ctx3 = acc / jnp.maximum(s_sum, 1e-30)
 
             for j in range(HKVT):
@@ -818,14 +869,17 @@ def _call(logits0, hidden0, cos, sin, layer_w, pred_w, extras,
                 pltpu.VMEM((LP, N_TOKENS, PB, HKVP * DHP), jnp.bfloat16),
                 pltpu.VMEM((PB, 8, DP), jnp.bfloat16),    # pred table window
                 pltpu.VMEM((2, 2048, DP), jnp.int8),      # pred head slots
-                pltpu.VMEM((N_TOKENS, 8, DT),
-                           extras["ctab_fb"].dtype),      # feedback windows
+                (pltpu.VMEM((B, N_TOKENS, 8, DT), extras["ctab_fb"].dtype)
+                 if B <= 8 else
+                 pltpu.VMEM((N_TOKENS, 8, DT),
+                            extras["ctab_fb"].dtype)),    # feedback windows
                 pltpu.SMEM((PB, N_TOKENS), jnp.int32),    # frame codes
                 pltpu.SemaphoreType.DMA((kv_slots, B, 2)),  # talker KV
                 pltpu.SemaphoreType.DMA((4,)),            # talker weights
                 pltpu.SemaphoreType.DMA((2,)),            # pred head slots
                 pltpu.SemaphoreType.DMA((PB,)),           # pred tables
-                pltpu.SemaphoreType.DMA((N_TOKENS,)),     # feedback tables
+                (pltpu.SemaphoreType.DMA((B, N_TOKENS)) if B <= 8
+                 else pltpu.SemaphoreType.DMA((N_TOKENS,))),  # fb tables
             ],
         ),
         out_shape=[
