@@ -176,8 +176,14 @@ class ContinuousBatcher:
             # A single 1-chunk group right after the initial prefill gives
             # the first wave chunk-granularity first audio.
             min_chunks = max(1, int(rem[active].min()) // n_chunk)
+            # Queue-aware floor (r5): while requests wait for a lane, a
+            # finished lane idling to group end delays THEIR first audio,
+            # so refill opportunities come every 2 chunks instead of 4;
+            # once the queue drains, the 4-chunk floor's amortization wins
+            # (measured r4 sweep in the comment above).
+            floor_c = 2 if queue else 4
             g = 1 if fresh else min(self.group_chunks,
-                                    max(4, _floor_pow2(min_chunks)))
+                                    max(floor_c, _floor_pow2(min_chunks)))
 
             state, codes_np, valid_np, saw_eos_np = codec.run_group(
                 state, sampler, prompt_cap=bucket, n_frames=n_chunk,
@@ -230,15 +236,20 @@ class ContinuousBatcher:
             # stay done.
             fresh = False
             if refills:
-                # Pad the refill group to the full batch width BEFORE
-                # prompt assembly (repeat entry 0 — duplicate lane writes
-                # of identical data are safe): prompt_to_device and the
-                # refill program then keep ONE compiled signature, instead
-                # of recompiling per distinct refill count (~1.5 s per new
-                # R on a remote-compile tunnel).
+                # Pad the refill group to a power-of-two width floored at
+                # 8 BEFORE prompt assembly (repeat entry 0 — duplicate
+                # lane writes of identical data are safe): bounded compile
+                # signatures ({8, 16, b} widths, ~1.5 s each on a
+                # remote-compile tunnel, warmed by any run that refills)
+                # while a typical 1-4-lane refill pays an 8-row prefill
+                # (~25 ms) instead of the full b=32 width (~90 ms) the
+                # one-signature r4 scheme charged every round (r5: the
+                # refill prefill was the largest per-round overhead in the
+                # 96-on-32 burst trace).
                 lanes_r = [l for l, _ in refills]
                 plans_r = [plans[n] for _, n in refills]
-                while len(lanes_r) < b:
+                rp = min(b, max(8, 1 << (len(lanes_r) - 1).bit_length()))
+                while len(lanes_r) < rp:
                     lanes_r.append(lanes_r[0])
                     plans_r.append(plans_r[0])
                 lens_r = [min(p.length, bucket) for p in plans_r]
@@ -248,7 +259,7 @@ class ContinuousBatcher:
                     embeds_r = jax.device_put(
                         embeds_r, mesh_lib.batch_sharding(self.mesh))
                 state = eng.generator.refill_lanes(state, embeds_r, lens_r,
-                                                   lanes_r, pad_to=b)
+                                                   lanes_r, pad_to=rp)
                 codec.reset_lanes(refill_mask)
             if trace:
                 print(f"[sched] g={g} active={len(active)} "
