@@ -218,3 +218,37 @@ def test_continuous_group_dispatch_mixed_budgets(tiny_engine):
         assert len(r.audio.samples) == r.frames * spf
         assert np.isfinite(r.audio.samples).all()
         assert r.ttft_ms is not None and r.ttft_ms >= 0
+
+
+def test_queue_aware_refill_width_and_floor(tiny_engine, monkeypatch):
+    """r5 scheduler behavior pins: (a) refill groups pad to a pow2 width
+    capped at the batch size, never silently the full width when the
+    batch is small; (b) results still complete correctly with the
+    queue-aware 2-chunk group floor active (queue non-empty for most of
+    the run)."""
+    eng = tiny_engine
+    eng.set_max_steps(16)
+    eng.set_sampler_config(SamplerConfig(seed=7))
+    voice = eng.get_speaker("vivian")
+
+    seen_pads = []
+    orig = eng.generator.refill_lanes
+
+    def spy(state, embeds_r, lengths, lanes, pad_to=None):
+        seen_pads.append((len(set(np.asarray(lanes).tolist())), pad_to,
+                          int(embeds_r.shape[0])))
+        return orig(state, embeds_r, lengths, lanes, pad_to=pad_to)
+
+    monkeypatch.setattr(eng.generator, "refill_lanes", spy)
+    reqs = [BatchRequest(f"queue aware request {i}", voice, max_frames=4)
+            for i in range(7)]
+    batcher = ContinuousBatcher(eng, batch_size=2,
+                                max_frames_per_stream=8, group_chunks=4)
+    results = batcher.run(reqs)
+    assert len(results) == 7
+    assert all(r.frames > 0 for r in results)
+    assert seen_pads, "7 requests on 2 lanes must refill"
+    for n_lanes, pad_to, width in seen_pads:
+        # pow2 width floored at 8 but capped at the batch size: at b=2
+        # every refill must pad to exactly 2, never beyond the batch
+        assert pad_to == 2 and width <= 2 and n_lanes <= 2
