@@ -47,6 +47,7 @@ same quantized weights).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -164,6 +165,7 @@ def _kernel(lengths_ref, start_ref,
     f = pl.program_id(0)
     p = pl.program_id(1)
     GT = LT // lps
+    PT = 8 if B >= 24 else PB    # debug-tap lanes (must match _call)
     # Feedback-gather pipelining (r5): with a per-(lane, code) window
     # buffer, each code's 8-row feedback-table DMA issues the moment that
     # code is decided (q=0 after sampling, q>=1 inside the predictor token
@@ -260,10 +262,20 @@ def _kernel(lengths_ref, start_ref,
                     ctab_fb_hbm.at[0, pl.ds((ci0 // 8) * 8, 8), :],
                     fbwin_sc.at[b, 0], fbsem.at[b, 0]).start()
 
-        # ---- projection 2048 -> 1024 (f32 exact, matches gen_frames)
-        h1024 = jax.lax.dot_general(
-            hidden_sc[...], proj_w[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + proj_b[...]
+        # ---- projection 2048 -> 1024 (f32 exact below b=24, matching
+        # gen_frames; b >= 24 holds the 2048x1024 matrix as bf16 — half
+        # the VMEM window, f32 accumulation, error ~1e-2 on h1024 which
+        # is far above the model's own int4 weight quantization floor)
+        pw = proj_w[...]
+        if pw.dtype == jnp.float32:
+            h1024 = jax.lax.dot_general(
+                hidden_sc[...], pw, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + proj_b[...]
+        else:
+            h1024 = jax.lax.dot_general(
+                hidden_sc[...].astype(jnp.bfloat16), pw,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) + proj_b[...]
         px = jnp.zeros((PB, DP), jnp.float32)
         pb_idx = jax.lax.broadcasted_iota(jnp.int32, (PB, DP), 0)
         for b in range(B):
@@ -331,7 +343,9 @@ def _kernel(lengths_ref, start_ref,
 
             x = jax.lax.fori_loop(0, LP, p_layer, px_sc[...])
             px_after = x
-            pxt_out[t] = x.astype(jnp.float32)         # debug tap
+            # debug tap (PT <= PB lanes: b >= 24 slims the f32 tap windows
+            # to the first 8 lanes — 6.4 MB of VMEM at PB=32 otherwise)
+            pxt_out[t] = x[:PT].astype(jnp.float32)
 
             @pl.when(t >= 1)
             def _():
@@ -359,7 +373,7 @@ def _kernel(lengths_ref, start_ref,
                         pltpu.make_async_copy(
                             ctab_fb_hbm.at[t, pl.ds((ci // 8) * 8, 8), :],
                             fbwin_sc.at[b, t], fbsem.at[b, t]).start()
-                plog_out[t] = logits                   # debug tap (tiny)
+                plog_out[t] = logits[:PT]              # debug tap
 
                 @pl.when(t < N_TOKENS - 1)
                 def _():
@@ -506,8 +520,9 @@ def _kernel(lengths_ref, start_ref,
                          EPS).astype(jnp.bfloat16)
             k = _blk_rms(k, tkn[l], tseg_k[...], DHT,
                          EPS).astype(jnp.bfloat16)
-            cos_q = cos_ref[f]                           # [BP, dq] f32
-            sin_q = sin_ref[f]
+            # [BP, dq]; f32 below b=24, bf16 window at b >= 24 (VMEM)
+            cos_q = cos_ref[f].astype(jnp.float32)
+            sin_q = sin_ref[f].astype(jnp.float32)
             qf = q.astype(jnp.float32)
             kf = k.astype(jnp.float32)
             q = (qf * cos_q
@@ -731,6 +746,7 @@ def _call(logits0, hidden0, cos, sin, layer_w, pred_w, extras,
     (LT, B, BP, HT, HKVT, DHT, DT, EPS, CAP, PCAP,
      LP, PB, HP, HKVP, DHP, DP, F, lps, R_FB, R_PD) = cfg_static
     GT = LT // lps
+    PT = 8 if B >= 24 else PB    # debug-tap lanes (must match _kernel)
     rep = HT // HKVT
     dq = HT * DHT
     dkv = HKVT * DHT
@@ -757,6 +773,14 @@ def _call(logits0, hidden0, cos, sin, layer_w, pred_w, extras,
     # 1024//B chunk and the caller clamps lps (gen_chunk_fused).
     batched = B > 4
     ck = max(128, 2048 // B) if batched else KV_CHUNK
+    if batched and B >= 24:
+        # b=24/32: ck=128 would put B*ck=4096 fused columns = 32 MB of KV
+        # slots — measured 150.9 MB total at F=1, 22.9 over the 128 MB
+        # ceiling; ck=64 still left the F=4 serving program 5.7 MB over.
+        # ck=32 (8 MB of slots) fits with the bf16 proj/rope windows; the
+        # per-chunk DMA issue count doubles twice vs b=16, which the
+        # measured number absorbs (QTTS_CHUNK_CK probes the tradeoff).
+        ck = int(os.environ.get("QTTS_CHUNK_CK", "32"))
     kv_slots = 2 if batched else 3
     cap_pad = ((CAP + ck - 1) // ck) * ck
     k_in, v_in = k_cache, v_cache
@@ -806,7 +830,7 @@ def _call(logits0, hidden0, cos, sin, layer_w, pred_w, extras,
                 fixed((1, DT)),                           # talker final norm
                 fixed((VP, DT)),                          # codec head int8
                 fixed((1, VP)),                           # codec head scales
-                fixed((DT, DP)),                          # proj (f32)
+                fixed((DT, DP)),                          # proj (f32/bf16)
                 fixed((1, DP)),                           # proj bias
                 fixed((1, DT)),                           # tts_pad
                 fixed((LP, 1, DP)),                       # pln1
@@ -839,8 +863,8 @@ def _call(logits0, hidden0, cos, sin, layer_w, pred_w, extras,
                 fixed((BP, DT)),                          # final hidden
                 tokblk(),                                 # k_tok
                 tokblk(),                                 # v_tok
-                fixed((N_TOKENS, PB, 2048)),              # predictor taps
-                fixed((N_TOKENS, PB, DP)),                # x-after-layers taps
+                fixed((N_TOKENS, PT, 2048)),              # predictor taps
+                fixed((N_TOKENS, PT, DP)),                # x-after-layers taps
             ],
             scratch_shapes=[
                 pltpu.VMEM((BP, DT), jnp.bfloat16),       # x residual
@@ -888,20 +912,24 @@ def _call(logits0, hidden0, cos, sin, layer_w, pred_w, extras,
             jax.ShapeDtypeStruct((BP, DT), jnp.float32),
             jax.ShapeDtypeStruct((F, LT, HKVT, BP, DHT), jnp.bfloat16),
             jax.ShapeDtypeStruct((F, LT, HKVT, BP, DHT), jnp.bfloat16),
-            jax.ShapeDtypeStruct((N_TOKENS, PB, 2048), jnp.float32),
-            jax.ShapeDtypeStruct((N_TOKENS, PB, DP), jnp.float32),
+            jax.ShapeDtypeStruct((N_TOKENS, PT, 2048), jnp.float32),
+            jax.ShapeDtypeStruct((N_TOKENS, PT, DP), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(126 if batched else 120) * 1024 * 1024),
         interpret=interpret,
     )(lengths.astype(jnp.int32), jnp.reshape(start, (1,)).astype(jnp.int32),
       sampler_vec, u,
-      logits0, hidden0, cos, sin,
+      logits0, hidden0,
+      cos.astype(jnp.bfloat16) if B >= 24 else cos,
+      sin.astype(jnp.bfloat16) if B >= 24 else sin,
       layer_w["ln1"], layer_w["ln2"], layer_w["qn"], layer_w["kn"],
       layer_w["seg_q"], layer_w["seg_k"],
       layer_w["wqkv_s"], layer_w["wo_s"], layer_w["gu_s"], layer_w["dn_s"],
       extras["tfn"], extras["chead_q"], extras["chead_s"],
-      extras["proj_w"], extras["proj_b"], extras["tts_pad"],
+      (extras["proj_w"].astype(jnp.bfloat16) if B >= 24
+       else extras["proj_w"]),
+      extras["proj_b"], extras["tts_pad"],
       pred_w["ln1"], pred_w["ln2"], pred_w["qn"], pred_w["kn"],
       pred_w["seg_q"], pred_w["seg_k"],
       pred_w["wqkv_s"], pred_w["wo_s"], pred_w["gu_s"], pred_w["dn_s"],
@@ -1176,13 +1204,16 @@ def chunk_mode() -> bool:
 def supported(tcfg, pcfg, batch: int, n_frames: int) -> bool:
     """batch 1 runs the per-lane-unrolled flash loop; 8/16 run the batched
     fused-column loop (2 KV slots + per-batch chunk size hold the whole
-    program ~86-92 MB against the 120 MB VMEM budget; 32 lanes would need
-    ~117 MB + Mosaic scale blocks and is gated off — serving at b=32 rides
-    the per-step talker megakernel instead)."""
+    program ~86-92 MB against the 120 MB VMEM budget).  24/32 lanes fit
+    only at the serving chunk shape (n_frames <= 4 halves the chunk-local
+    KV scratch, lps is clamped to 2 by gen_chunk_fused so Mosaic's
+    double-buffered scale blocks shrink) — larger frame counts at b >= 24
+    ride the per-step talker megakernel instead."""
     from . import talker_step as _ts
     from . import predictor_frame as _pf
     g2 = 2 * INT4_GROUP
-    return ((batch == 1 or batch in (8, 16))
+    return ((batch == 1 or batch in (8, 16)
+             or (batch in (24, 32) and n_frames <= 4))
             and 1 <= n_frames <= 8
             and _ts.supported(tcfg, batch, "w4a8")
             and _pf.supported(pcfg, batch)
@@ -1223,6 +1254,10 @@ def gen_chunk_fused(tcfg, pcfg, talker_params, pred_w, extras,
         # grid step (~2 x 11 MB at lps=7) — clamp to the largest divisor
         # <= 4 to keep the whole program under the VMEM limit
         lps = next((v for v in (4, 3, 2) if tcfg.n_layers % v == 0), 1)
+    if B >= 24 and lps > 2:
+        # b=24/32: the fused-column KV slots grow with B*ck — buy the
+        # headroom back from the scale double-buffers
+        lps = 2 if tcfg.n_layers % 2 == 0 else 1
 
     # per-frame rope rows, tiled across packed q lanes (talker_step layout)
     p_f = (pos.astype(jnp.int32)[:, None]

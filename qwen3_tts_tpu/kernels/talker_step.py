@@ -631,9 +631,16 @@ def _call(x0, cos, sin, layer_w, k_cache, v_cache, lengths, start,
     qkv_out = layer_w["wqkv_q"].shape[-1]
     # Batched mode (B > 4): fused-column KV scratch, one dot per chunk.
     # ck shrinks with B so the scratch stays ~2 slots x [HKV, B*ck, DH]
-    # x (k+v) <= ~34 MB against the 110 MB VMEM budget.
+    # x (k+v) <= ~34 MB against the 110 MB VMEM budget.  B > 32 (r5:
+    # 48/64/96-lane serving) keeps B*ck <= 4096 the same way — the dot
+    # size per chunk stays constant and only the DMA issue count grows.
     batched = B > 4
-    ck = max(128, 2048 // B) if batched else KV_CHUNK
+    if not batched:
+        ck = KV_CHUNK
+    elif B <= 32:
+        ck = max(128, 2048 // B)
+    else:
+        ck = 64 if B <= 64 else 32
     cap_pad = ((CAP + ck - 1) // ck) * ck
     k_in, v_in = k_cache, v_cache
     if cap_pad != CAP:
@@ -894,14 +901,16 @@ def fused_mode() -> Optional[str]:
 
 def supported(cfg, batch: int, weights: str = "int8") -> bool:
     """Decode-shaped batches with standard dims: 1-4 lanes run the
-    per-lane-unrolled flash loop; 8/16/24/32 lanes run the batched
+    per-lane-unrolled flash loop; multiples of 8 up to 96 run the batched
     fused-column flash loop (serving batches share ONE weight stream —
-    the round-4 verdict's top item).  The kernel unconditionally applies
+    the round-4 verdict's top item; r5 extends 32 -> 96: B*ck stays
+    <= 4096 columns and lps is clamped to 4 past b=32, so the program
+    holds ~75 MB at b=64 against the 110 MB budget).  The kernel unconditionally applies
     per-head RMS q/k-norm, so a config with qk_norm=False must take the
     XLA path (the production talker always sets it; this just hardens the
     gate).  w4a8 additionally needs every contraction dim to split into
     whole 2*G-row nibble groups."""
-    ok = ((batch <= 4 or (batch % 8 == 0 and batch <= 32))
+    ok = ((batch <= 4 or (batch % 8 == 0 and batch <= 96))
           and cfg.qk_norm
           and cfg.head_dim == 128
           and cfg.d_model % 128 == 0
@@ -985,6 +994,11 @@ def talker_step_fused(cfg, params, x, cos, sin, cache_k, cache_v,
         lps = layers_per_step(L)
     elif L % lps != 0:
         lps = 1
+    if B > 32 and lps > 4:
+        # b=48/64/96: Mosaic double-buffers (lps, ...) scale blocks per
+        # grid step — clamp so the blocks shrink with the bigger
+        # fused-column KV scratch
+        lps = next((v for v in (4, 3, 2) if L % v == 0), 1)
     from qwen3_tts_tpu.utils.debug import ablate_mode
     ablate = ablate_mode("QTTS_TALKER_ABLATE")
     if sfold is None:

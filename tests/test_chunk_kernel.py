@@ -109,8 +109,15 @@ def _gap_codes_equal(ref_logits_tokens, codes_a, codes_b):
 def test_supported_gate(setup):
     tcfg, pcfg, *_ = setup
     assert cs.supported(tcfg, pcfg, 1, 4)
-    assert not cs.supported(tcfg, pcfg, 2, 4)      # batch 1 only (v1)
+    assert not cs.supported(tcfg, pcfg, 2, 4)      # no odd small batches
     assert not cs.supported(tcfg, pcfg, 1, 9)
+    assert cs.supported(tcfg, pcfg, 8, 8)
+    assert cs.supported(tcfg, pcfg, 16, 8)
+    # b=24/32 fit VMEM only at the serving chunk shape (<= 4 frames)
+    assert cs.supported(tcfg, pcfg, 24, 4)
+    assert cs.supported(tcfg, pcfg, 32, 4)
+    assert not cs.supported(tcfg, pcfg, 32, 8)
+    assert not cs.supported(tcfg, pcfg, 48, 4)     # talker kernel ceiling
 
 
 def test_sampler_greedy_and_distribution():
@@ -289,6 +296,43 @@ def test_chunk_batched_lane_isolation(setup):
     np.testing.assert_array_equal(
         np.asarray(k_out[:, :, :, :START], np.float32),
         np.asarray(k8[:, :, :, :START], np.float32))
+    assert np.abs(np.asarray(k_out[:, :, :, START:START + F],
+                             np.float32)).sum() > 0
+
+
+def test_chunk_batched_b32_lane_isolation(setup):
+    """b=32 (the serving batch the r5 extension adds): lanes 0-15 duplicate
+    lanes 16-31 — every output of lane i must EXACTLY equal lane i+16
+    through the fused-column masked dots, the lps=2 clamp, and the shared
+    (non-inloop) feedback-gather path.  F=2 (b>=24 is gated to the <=4
+    serving chunk shape)."""
+    tcfg, pcfg, tp, tparams, pparams, pred_w, extras, key = setup
+    F = 2
+    c16 = _cache_with_history(tcfg, 16, 100, key)
+    tile = lambda a: jnp.concatenate([a, a], axis=1)     # [L, 16,..] -> 32
+    k32, v32 = tile(c16.k), tile(c16.v)
+    lengths32 = jnp.concatenate([c16.lengths, c16.lengths])
+    lg16 = jax.random.normal(jax.random.fold_in(key, 32),
+                             (16, tcfg.n_codec_logits), jnp.float32)
+    hd16 = jax.random.normal(jax.random.fold_in(key, 33),
+                             (16, tcfg.d_model), jnp.float32) * 0.3
+    lg32 = jnp.concatenate([lg16, lg16])
+    hd32 = jnp.concatenate([hd16, hd16])
+
+    codes, lg_out, hd_out, k_out, v_out = _run_kernel(
+        setup, lg32, hd32, k32, v32, lengths32, START, F)
+    cn = np.asarray(codes)
+    lgn = np.asarray(lg_out)
+    kn = np.asarray(k_out)
+    for i in range(16):
+        np.testing.assert_array_equal(cn[i], cn[i + 16])
+        np.testing.assert_array_equal(lgn[i], lgn[i + 16])
+        np.testing.assert_array_equal(kn[:, i], kn[:, i + 16])
+    c0 = np.asarray(jnp.argmax(lg32, axis=-1))
+    np.testing.assert_array_equal(cn[:, 0, 0], c0)
+    np.testing.assert_array_equal(
+        np.asarray(k_out[:, :, :, :START], np.float32),
+        np.asarray(k32[:, :, :, :START], np.float32))
     assert np.abs(np.asarray(k_out[:, :, :, START:START + F],
                              np.float32)).sum() > 0
 

@@ -56,8 +56,11 @@ def test_supported_gate():
     assert supported(cfg, 1)
     assert supported(cfg, 16)                     # batched fused-column mode
     assert supported(cfg, 32)
+    assert supported(cfg, 48)                     # r5: 48/64/96-lane serving
+    assert supported(cfg, 96)
     assert not supported(cfg, 6)                  # not a whole 8-lane group
-    assert not supported(cfg, 48)                 # beyond the VMEM budget
+    assert supported(cfg, 40)                     # any whole-8 group <= 96
+    assert not supported(cfg, 104)                # beyond the VMEM budget
     assert not supported(TalkerConfig.tiny(), 1)  # head_dim 16
 
 
@@ -264,11 +267,12 @@ def test_kernel_sfold_matches_blocked_scales(setup):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
 
 
-@pytest.mark.parametrize("b,decoded", [(8, 0), (8, 3), (16, 2)])
+@pytest.mark.parametrize("b,decoded", [(8, 0), (8, 3), (16, 2), (48, 2)])
 def test_kernel_batched_matches_xla(setup, b, decoded):
     """Batched fused-column mode (B >= 8): one masked dot per chunk over
     all lanes' columns must reproduce the XLA decode path per lane, with
-    mixed prompt lengths and live decode history."""
+    mixed prompt lengths and live decode history.  b=48 exercises the
+    r5 B > 32 branch (ck=64 fused columns + lps clamp)."""
     cfg, params = setup
     lengths = [(64 * (i + 1)) % 512 or 512 for i in range(b)]
     cache = _cache_with_history(cfg, b, lengths, decoded,
